@@ -1,0 +1,102 @@
+"""T8-T12 image-region pipeline tests — numpy re-expression of
+/root/reference/src/vision_parse/utils.py:24-139 with every constant
+preserved (sizes >=100, <=0.95*page, std>25, 20<mean<235,
+area_ratio>0.4, laplacian var<500, area-descending emit order,
+image_{page+1}_{idx}.png naming)."""
+
+import base64
+import zlib
+
+import numpy as np
+
+from vision_parse_spark.operators.images import (
+    connected_components,
+    encode_png,
+    extract_images,
+    extract_images_from_marker_text,
+    render_page,
+)
+
+
+def test_connected_components_basic():
+    b = np.zeros((20, 20), dtype=np.uint8)
+    b[2:6, 2:6] = 255
+    b[10:15, 10:18] = 255
+    labels, n = connected_components(b)
+    assert n == 2
+    assert labels[3, 3] != labels[12, 12]
+    assert labels[0, 0] == 0
+
+
+def test_connected_components_ring_merges():
+    b = np.zeros((30, 30), dtype=np.uint8)
+    b[5:25, 5:7] = 255   # left bar
+    b[5:25, 23:25] = 255  # right bar
+    b[5:7, 5:25] = 255   # top bar
+    b[23:25, 5:25] = 255  # bottom bar
+    labels, n = connected_components(b)
+    assert n == 1
+
+
+def test_region_detected_on_synthetic_page():
+    page = render_page(150, 150, seed=7)
+    out = extract_images(page, "url", page_number=0)
+    assert len(out) == 1
+    assert out[0]["image_url"] == "image_1_1.png"  # utils.py:112 naming
+    assert out[0]["base64_encoded"] is None
+
+
+def test_small_region_filtered():
+    # P4: w or h < 100 -> dropped (utils.py:96-99)
+    page = render_page(60, 60, seed=7)
+    assert extract_images(page, "url", page_number=0) == []
+
+
+def test_full_page_region_filtered():
+    # P4: > 0.95 * page dims -> dropped (utils.py:100-103)
+    page = render_page(2000, 2000, seed=3)
+    assert extract_images(page, "url", page_number=0) == []
+
+
+def test_noise_specks_rejected():
+    page = render_page(150, 150, seed=7, noise=10)
+    out = extract_images(page, "url", page_number=0)
+    assert len(out) == 1  # only the real region survives P4/P5
+
+
+def test_base64_mode_data_uri_and_valid_png():
+    page = render_page(120, 130, seed=11)
+    out = extract_images(page, "base64", page_number=4)
+    assert len(out) == 1
+    assert out[0]["image_url"] == "image_5_1.png"  # page_number+1
+    uri = out[0]["base64_encoded"]
+    assert uri.startswith("data:image/png;base64,")
+    png = base64.b64decode(uri.split(",", 1)[1])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IDAT decompresses to h * (1 + w*3) filtered bytes
+    assert zlib.decompress(png[png.index(b"IDAT") + 4 : png.rindex(b"IEND") - 4])
+
+
+def test_marker_text_extraction():
+    text = "para.\n\n[[PAGE_IMAGE w=140 h=120 seed=99]]\n"
+    out = extract_images_from_marker_text(text, "url", page_number=2)
+    assert [d["image_url"] for d in out] == ["image_3_1.png"]
+
+
+def test_bgra_input_accepted():
+    page = render_page(150, 150, seed=7)
+    bgra = np.dstack([page, np.full(page.shape[:2], 255, dtype=np.uint8)])
+    assert len(extract_images(bgra, "url", 0)) == 1
+
+
+def test_deterministic_across_calls():
+    a = extract_images(render_page(150, 150, seed=5), "base64", 0)
+    b = extract_images(render_page(150, 150, seed=5), "base64", 0)
+    assert a == b
+
+
+def test_encode_png_roundtrip_shape():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    png = encode_png(rgb)
+    raw = zlib.decompress(png[png.index(b"IDAT") + 4 : png.rindex(b"IEND") - 4])
+    assert len(raw) == 2 * (1 + 3 * 3)

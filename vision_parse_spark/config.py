@@ -1,0 +1,54 @@
+"""Engine configuration.
+
+Replaces the reference's ``PDFPageConfig`` + ``VisionParser`` ctor
+knobs (``/root/reference/src/vision_parse/parser.py:20-26,44-96``) with
+a plain dataclass broadcast into UDF closures.  No network, no device
+probing (``utils.py:146-165`` is cluster sizing -> spark-submit flags).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Configuration for the transcript extraction pipeline.
+
+    Mirrors the semantics-bearing knobs of the reference:
+
+    * ``image_mode`` — ``parser.py:54`` ``Literal["url","base64",None]``;
+      gates image extraction (P3, ``llm.py:349-354``) and link style
+      (T8, ``llm.py:383-393``).
+    * ``detailed_extraction`` — ``parser.py:53``; False forces the
+      fallback prompt defaults (tables=Yes, latex=No, conf=0.0,
+      ``llm.py:370-377``).
+    * ``custom_transform`` — the lift of ``custom_prompt``
+      (``parser.py:55``): an optional user hook applied to the final
+      markdown Series (vectorized; pd.Series -> pd.Series).
+    * ``fast_path_confidence`` — P2 threshold (``llm.py:338``).
+    """
+
+    image_mode: Optional[str] = None          # "url" | "base64" | None
+    detailed_extraction: bool = True
+    fast_path_confidence: float = 0.6         # llm.py:338
+    min_image_dims: tuple = (100, 100)        # utils.py:67
+    strict: bool = False                      # raise on first error (tests)
+    salt_buckets: int = 32                    # skew salting for repartition
+    custom_transform: Optional[object] = None # Callable[[pd.Series], pd.Series]
+    # region validity thresholds — utils.py:52-57
+    region_std_min: float = 25.0
+    region_mean_lo: float = 20.0
+    region_mean_hi: float = 235.0
+    region_area_ratio_min: float = 0.4
+    region_laplacian_var_max: float = 500.0
+    # page-size cap for regions — utils.py:99-103 (0.95 * page dims)
+    region_page_frac_max: float = 0.95
+
+    def validate(self) -> "ExtractConfig":
+        if self.image_mode not in (None, "url", "base64"):
+            raise ValueError(
+                f"image_mode must be 'url', 'base64' or None, got {self.image_mode!r}"
+            )
+        return self

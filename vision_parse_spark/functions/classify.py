@@ -1,0 +1,138 @@
+"""T4 — deterministic page/turn classification.
+
+Replaces the reference's first Vision-LLM call
+(``/root/reference/src/vision_parse/llm.py:325-331``, prompt contract
+``image_analysis.j2:9-16``) with a vectorized heuristic classifier.
+Output mirrors ``ImageDescription`` (``llm.py:17-24``):
+
+    text_detected, tables_detected, images_detected, latex_detected
+    (booleans — the reference's Literal["Yes","No"]),
+    extracted_text (str), confidence (double).
+
+All detection is pandas ``.str`` regex / numpy masks over the batch —
+no per-row Python (north_rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .fences import strip_code_fences
+from .html import looks_like_html, strip_html_boilerplate
+
+# Synthetic page-image placeholder embedded in transcript text payloads.
+# The images operator re-renders a deterministic numpy page from these
+# params and runs the real region-detection pipeline (see
+# operators/images.py).  Stands in for the reference's rendered PDF
+# bitmap (parser.py:116-121) since raster libs are out of scope here.
+PAGE_IMAGE_MARKER_RE = r"\[\[PAGE_IMAGE w=\d+ h=\d+ seed=\d+(?: noise=\d+)?\]\]"
+
+# Table signals: HTML tables, pipe rows, or aligned-column blocks
+# (>=2 lines with >=2 multi-space-separated runs).
+_PIPE_ROW_RE = r"(?m)^\s*\|.*\|.*$"
+_ALIGNED_ROW_RE = r"(?m)^.*\S  +\S.*$"
+_HTML_TABLE_RE = r"(?i)<table\b"
+
+# LaTeX signals (markdown_prompt.j2:20-24 semantics: $...$ inline,
+# $$...$$ block, or common TeX commands).
+_LATEX_RE = (
+    r"\$\$[^$]+\$\$"
+    r"|\$[^$\n]+\$"
+    r"|\\(?:frac|sum|int|sqrt|alpha|beta|gamma|lambda|mu|sigma|infty|partial|nabla)\b"
+)
+
+# Characters counted as "clean text" for the confidence heuristic.
+_CLEAN_CHARS_RE = r"[A-Za-z0-9 .,;:'\"!?()\[\]\-\n#*|$\\{}/=+_<>%&@^~`]"
+
+# Unformatted-structure signals that must reach the formatter (raw
+# bullets / `1)` numbering / ALL-CAPS section headers / aligned cols).
+_UNFORMATTED_STRUCTURE_RE = (
+    r"(?m)^\s*[*•–]\s+\S"
+    r"|^\s*\d+\)\s+\S"
+    r"|^[A-Z][A-Z ]{2,59}$"
+    r"|^.*\S  +\S.*$"
+)
+
+
+def detect_payload_kind(text: pd.Series) -> pd.Series:
+    """'pdf_text' | 'html' | 'plain' — the lift of the reference's
+    suffix check (parser.py:157-161) to payload sniffing."""
+    t = text.fillna("")
+    is_pdf = t.str.startswith("%PDF-")
+    is_html = looks_like_html(t) & ~is_pdf
+    kind = pd.Series(np.where(is_pdf, "pdf_text", np.where(is_html, "html", "plain")),
+                     index=text.index, dtype="object")
+    return kind
+
+
+def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd.DataFrame:
+    """Classify a batch of turn payloads.
+
+    Returns a DataFrame with columns: payload_kind, text_detected,
+    tables_detected, images_detected, latex_detected, extracted_text,
+    confidence — one row per input row, index-aligned.
+    """
+    t = text.fillna("")
+    if payload_kind is None:
+        payload_kind = detect_payload_kind(t)
+
+    # --- extracted_text: main-content extraction per payload kind ---
+    # pdf_text: drop the '%PDF-x.y' header line (text-layer payload)
+    pdf_mask = (payload_kind == "pdf_text").to_numpy()
+    html_mask = (payload_kind == "html").to_numpy()
+
+    extracted = t.copy()
+    if pdf_mask.any():
+        stripped_pdf = t[pdf_mask].str.replace(r"^%PDF-[^\n]*\n?", "", regex=True)
+        extracted = extracted.mask(pd.Series(pdf_mask, index=t.index), stripped_pdf)
+    if html_mask.any():
+        stripped_html = strip_html_boilerplate(t[html_mask])
+        extracted = extracted.mask(pd.Series(html_mask, index=t.index), stripped_html)
+
+    # T6 fence strip applies to every payload (llm.py:444-449)
+    extracted = strip_code_fences(extracted)
+    # drop image markers from the text channel (they live in `images`)
+    has_marker = extracted.str.contains(PAGE_IMAGE_MARKER_RE, regex=True, na=False)
+    extracted = extracted.str.replace(PAGE_IMAGE_MARKER_RE, "", regex=True)
+    extracted = extracted.str.replace(r"[ \t]+\n", "\n", regex=True).str.strip()
+
+    # --- detections ---
+    text_detected = extracted.str.len() > 0
+
+    n_pipe_rows = extracted.str.count(_PIPE_ROW_RE)
+    n_aligned_rows = extracted.str.count(_ALIGNED_ROW_RE)
+    tables_detected = (
+        t.str.contains(_HTML_TABLE_RE, regex=True, na=False)
+        | (n_pipe_rows >= 2)
+        | (n_aligned_rows >= 2)
+    )
+
+    latex_detected = extracted.str.contains(_LATEX_RE, regex=True, na=False)
+    images_detected = has_marker
+
+    # --- confidence: "this text is already final" score --------------
+    # clean-character ratio, halved when unformatted structure remains
+    # (raw bullets, `1)` numbering, ALL-CAPS section lines, aligned
+    # columns) so the P2 fast path (llm.py:336-346) only fires for
+    # genuinely plain text and structured turns reach the formatter.
+    total_len = extracted.str.len().to_numpy(dtype="float64")
+    clean_len = extracted.str.count(_CLEAN_CHARS_RE).to_numpy(dtype="float64")
+    unformatted = extracted.str.contains(_UNFORMATTED_STRUCTURE_RE, regex=True,
+                                         na=False).to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        conf = np.where(total_len > 0, np.round(clean_len / total_len, 2), 0.0)
+    conf = np.where(unformatted, np.round(conf * 0.5, 2), conf)
+
+    return pd.DataFrame(
+        {
+            "payload_kind": payload_kind,
+            "text_detected": text_detected,
+            "tables_detected": tables_detected & text_detected,
+            "images_detected": images_detected,
+            "latex_detected": latex_detected & text_detected,
+            "extracted_text": extracted,
+            "confidence": conf,
+        },
+        index=t.index,
+    )

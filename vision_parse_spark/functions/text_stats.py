@@ -1,0 +1,85 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (these are the pipeline ops a
+100 TB corpus job needs next to extraction): language-ID, quality
+scoring, token counting, document fingerprinting.  All vectorized
+pandas/numpy; each also has a Catalyst-native (pure ``pyspark.sql.
+functions``) twin in ``__spark_entry__.py`` queries so the hot path
+stays JVM-side when the heuristic is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# tiny marker-word inventories per language (deterministic heuristic —
+# the point is the vectorized counting pattern, not linguistic recall)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "por"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+_WORD_RE = r"[A-Za-z0-9]+(?:'[A-Za-z]+)?"  # BPE-ish word pieces
+_PUNCT_RE = r"[^\w\s]"
+
+
+def token_count(s: pd.Series) -> pd.Series:
+    """Whitespace+wordpiece token count (vectorized regex count)."""
+    return s.fillna("").str.count(_WORD_RE).astype("int64")
+
+
+def quality_score(s: pd.Series) -> pd.Series:
+    """Composite quality score in [0,1]: length band + punctuation
+    ratio + stopword ratio (classic C4/Gopher-style filters,
+    deterministic)."""
+    t = s.fillna("")
+    n_chars = t.str.len().to_numpy(dtype="float64")
+    n_tokens = token_count(t).to_numpy(dtype="float64")
+    n_punct = t.str.count(_PUNCT_RE).to_numpy(dtype="float64")
+    stop_pat = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+    n_stop = t.str.count(stop_pat).to_numpy(dtype="float64")
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        len_ok = np.clip(n_chars / 200.0, 0.0, 1.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 1.0)
+        punct_ok = np.clip(1.0 - 4.0 * punct_ratio, 0.0, 1.0)
+        stop_ratio = np.where(n_tokens > 0, n_stop / n_tokens, 0.0)
+        stop_ok = np.clip(stop_ratio / 0.2, 0.0, 1.0)
+    score = np.round((len_ok + punct_ok + stop_ok) / 3.0, 4)
+    return pd.Series(score, index=s.index)
+
+
+def lang_id(s: pd.Series) -> pd.Series:
+    """Marker-word language ID: argmax of per-language marker counts,
+    'und' when no markers hit.  Fully vectorized (one regex count per
+    language, numpy argmax)."""
+    t = s.fillna("").str.lower()
+    langs = list(LANG_MARKERS)
+    counts = np.zeros((len(t), len(langs)), dtype="int64")
+    for j, lang in enumerate(langs):
+        pat = r"\b(?:" + "|".join(map(np.str_, LANG_MARKERS[lang])) + r")\b"
+        counts[:, j] = t.str.count(pat).to_numpy()
+    best = counts.argmax(axis=1)
+    hit = counts.max(axis=1) > 0
+    out = np.where(hit, np.array(langs, dtype=object)[best], "und")
+    return pd.Series(out, index=s.index, dtype="object")
+
+
+def doc_fingerprint(s: pd.Series, *, mod: int = (1 << 61) - 1) -> pd.Series:
+    """Rolling polynomial hash fingerprint of the whole document
+    (Rabin-Karp style), vectorized via pandas hashing on normalized
+    text.  Stable across runs and partitions."""
+    norm = (
+        s.fillna("")
+        .str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    h = pd.util.hash_pandas_object(norm, index=False).to_numpy()
+    return pd.Series((h % mod).astype("int64"), index=s.index)

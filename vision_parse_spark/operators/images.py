@@ -1,0 +1,328 @@
+"""T9-T12 + T8 — image-region detection & extraction, pure numpy.
+
+Re-implements the reference's cv2 pipeline
+(``/root/reference/src/vision_parse/utils.py:24-139``) without cv2
+(not available here), preserving every tunable constant and the
+ordering contract:
+
+* T9 preprocessing chain (``utils.py:24-39``): BGR->gray ->
+  GaussianBlur(5x5) -> adaptive threshold (gaussian-weighted local
+  mean, block 11, C=2, BINARY_INV) -> morphological close (3x3).
+* T10 channel normalization (``utils.py:76-83``): BGRA->BGR.
+* T11 contour detect + **area-descending sort** (``utils.py:86-89``)
+  — here connected components via vectorized run-based union-find;
+  component pixel area stands in for ``cv2.contourArea``.
+* P4 size filter (``utils.py:96-104``): w/h >= 100 and <= 0.95*page.
+* P5 validity predicate (``utils.py:41-59``): std>25,
+  20<mean<235, area_ratio>0.4, laplacian variance<500.
+* T12 crop + encode (``utils.py:106-139``): url mode emits the name
+  ``image_{page+1}_{idx}.png`` only (executors must not write local
+  files); base64 mode emits a ``data:image/png;base64,...`` URI via a
+  minimal stdlib PNG encoder.
+
+Pages here are deterministic synthetic bitmaps re-rendered from
+``[[PAGE_IMAGE ...]]`` markers (no pdfium in this environment); the
+detection pipeline itself operates on any HxWx3 uint8 array.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import struct
+import zlib
+
+import numpy as np
+
+MARKER_RE = re.compile(r"\[\[PAGE_IMAGE w=(\d+) h=(\d+) seed=(\d+)(?: noise=(\d+))?\]\]")
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic page rendering (stand-in for parser.py:116-121)
+# ---------------------------------------------------------------------------
+
+PAGE_H, PAGE_W = 640, 480
+
+
+def render_page(w: int, h: int, seed: int, noise: int = 0) -> np.ndarray:
+    """Render a deterministic white page with one textured rectangular
+    region of size (h, w) whose position/texture derive from ``seed``.
+    Returns an HxWx3 uint8 BGR array."""
+    rng = np.random.default_rng(seed)
+    page = np.full((PAGE_H, PAGE_W, 3), 255, dtype=np.uint8)
+    w = min(int(w), PAGE_W - 2)
+    h = min(int(h), PAGE_H - 2)
+    y0 = int(rng.integers(1, max(PAGE_H - h - 1, 2)))
+    x0 = int(rng.integers(1, max(PAGE_W - w - 1, 2)))
+    # smooth horizontal-gradient block: mean ~130 (within 20..235),
+    # std > 25, near-zero Laplacian variance (passes P5, utils.py:52-57)
+    grad = np.linspace(60, 200, w, dtype=np.float64)
+    block = np.broadcast_to(grad, (h, w))
+    page[y0 : y0 + h, x0 : x0 + w] = np.repeat(
+        block[:, :, None], 3, axis=2
+    ).astype(np.uint8)
+    if noise:
+        # sprinkle small specks that must be rejected by P4/P5 filters
+        ys = rng.integers(0, PAGE_H - 8, size=noise)
+        xs = rng.integers(0, PAGE_W - 8, size=noise)
+        for yy, xx in zip(ys, xs):
+            page[yy : yy + 6, xx : xx + 6] = 0
+    return page
+
+
+# ---------------------------------------------------------------------------
+# T9 preprocessing chain (utils.py:24-39), numpy re-expression
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel1d(ksize: int) -> np.ndarray:
+    # cv2.getGaussianKernel default sigma for given ksize
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(x**2) / (2.0 * sigma**2))
+    return k / k.sum()
+
+
+def _sep_convolve(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2-D convolution with reflect-101 borders (cv2 default)."""
+    r = len(k) // 2
+    out = np.pad(img, ((r, r), (0, 0)), mode="reflect").astype(np.float64)
+    out = sum(out[i : i + img.shape[0]] * k[i] for i in range(len(k)))
+    out = np.pad(out, ((0, 0), (r, r)), mode="reflect")
+    out = sum(out[:, i : i + img.shape[1]] * k[i] for i in range(len(k)))
+    return out
+
+
+def bgr_to_gray(img: np.ndarray) -> np.ndarray:
+    """cv2.COLOR_BGR2GRAY weights (utils.py:27)."""
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    return 0.114 * b + 0.587 * g + 0.299 * r
+
+
+def prepare_for_detection(img: np.ndarray) -> np.ndarray:
+    """Gray -> blur(5x5) -> adaptive gaussian threshold(11, C=2,
+    BINARY_INV) -> morph close (3x3).  Mirrors utils.py:26-37."""
+    gray = bgr_to_gray(img)
+    smooth = _sep_convolve(gray, _gaussian_kernel1d(5))
+    local_mean = _sep_convolve(smooth, _gaussian_kernel1d(11))
+    binary = (smooth <= local_mean - 2.0).astype(np.uint8) * 255  # INV, C=2
+    # close = dilate then erode with 3x3 ones
+    return _erode3(_dilate3(binary))
+
+
+def _dilate3(b: np.ndarray) -> np.ndarray:
+    p = np.pad(b, 1, mode="edge")
+    windows = np.lib.stride_tricks.sliding_window_view(p, (3, 3))
+    return windows.max(axis=(2, 3))
+
+
+def _erode3(b: np.ndarray) -> np.ndarray:
+    p = np.pad(b, 1, mode="edge")
+    windows = np.lib.stride_tricks.sliding_window_view(p, (3, 3))
+    return windows.min(axis=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# T11 — connected components via run-based union-find (contour analog)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
+    """Label 4-connected components of ``binary > 0``.
+
+    Vectorized run extraction per row; union-find merges runs that
+    overlap vertically.  Returns (label image int32 with 0=background,
+    n_components)."""
+    b = binary > 0
+    h, w = b.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = b
+    flat = padded.ravel()
+    starts = flat & ~np.roll(flat, 1)
+    starts[0] = flat[0]
+    run_id = np.cumsum(starts)  # 1-based run ids on foreground
+    labels = np.where(flat, run_id, 0).reshape(h, w + 1)[:, :w]
+
+    n_runs = int(run_id[-1])
+    if n_runs == 0:
+        return np.zeros((h, w), dtype=np.int32), 0
+
+    parent = np.arange(n_runs + 1)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    overlap = b[1:] & b[:-1]
+    ys, xs = np.nonzero(overlap)
+    pairs = np.unique(
+        np.stack([labels[ys + 1, xs], labels[ys, xs]], axis=1), axis=0
+    )
+    for a, c in pairs:
+        ra, rc = find(int(a)), find(int(c))
+        if ra != rc:
+            parent[max(ra, rc)] = min(ra, rc)
+
+    # resolve all run roots, compact to 1..n
+    roots = np.array([find(i) for i in range(n_runs + 1)])
+    uniq, compact = np.unique(roots[1:], return_inverse=True)
+    lut = np.zeros(n_runs + 1, dtype=np.int32)
+    lut[1:] = compact + 1
+    return lut[labels], len(uniq)
+
+
+def _laplacian_var(gray: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian (cv2.Laplacian ksize=1
+    kernel [[0,1,0],[1,-4,1],[0,1,0]], reflect-101 borders)."""
+    p = np.pad(gray, 1, mode="reflect")
+    lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4.0 * gray
+    return float(lap.var())
+
+
+# ---------------------------------------------------------------------------
+# minimal PNG encoder (stdlib only) for base64 mode (utils.py:130-133)
+# ---------------------------------------------------------------------------
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a PNG byte string."""
+    h, w = rgb.shape[:2]
+    raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the full extract_images operator (utils.py:62-139)
+# ---------------------------------------------------------------------------
+
+
+def extract_images(
+    page_image: np.ndarray,
+    image_mode: str,
+    page_number: int,
+    min_dimensions: tuple[int, int] = (100, 100),
+    *,
+    std_min: float = 25.0,
+    mean_lo: float = 20.0,
+    mean_hi: float = 235.0,
+    area_ratio_min: float = 0.4,
+    laplacian_var_max: float = 500.0,
+    page_frac_max: float = 0.95,
+) -> list[dict]:
+    """Detect and extract image regions from one page bitmap.
+
+    Returns a list of ``{"image_url": ..., "base64_encoded": ...}``
+    dicts in component-area-descending order (the reference's contour
+    sort, utils.py:89), with reference-exact naming
+    ``image_{page_number+1}_{idx}.png`` (utils.py:112,126)."""
+    if page_image.ndim != 3:
+        raise ValueError(f"expected HxWxC page, got shape {page_image.shape}")
+    if page_image.shape[2] == 4:  # T10: BGRA -> BGR (utils.py:76-78)
+        page_image = page_image[..., :3]
+    elif page_image.shape[2] != 3:
+        raise ValueError(
+            f"Unsupported image format with {page_image.shape[2]} channels"
+        )
+
+    min_w, min_h = min_dimensions
+    img_h, img_w = page_image.shape[:2]
+
+    processed = prepare_for_detection(page_image)
+    comp_labels, n = connected_components(processed)
+    if n == 0:
+        return []
+
+    ys, xs = np.nonzero(comp_labels)
+    lab = comp_labels[ys, xs]
+    x0 = np.full(n + 1, img_w, dtype=np.int64)
+    x1 = np.zeros(n + 1, dtype=np.int64)
+    y0 = np.full(n + 1, img_h, dtype=np.int64)
+    y1 = np.zeros(n + 1, dtype=np.int64)
+    np.minimum.at(x0, lab, xs)
+    np.maximum.at(x1, lab, xs)
+    np.minimum.at(y0, lab, ys)
+    np.maximum.at(y1, lab, ys)
+
+    # "filled" area — the analog of cv2.contourArea on a RETR_EXTERNAL
+    # contour (utils.py:48): the area ENCLOSED by the outer boundary,
+    # not the component's pixel count.  Computed as the sum of per-row
+    # horizontal spans (exact for convex/ring-shaped components).
+    row_key = lab.astype(np.int64) * np.int64(img_h) + ys
+    uniq, inv = np.unique(row_key, return_inverse=True)
+    row_minx = np.full(len(uniq), img_w, dtype=np.int64)
+    row_maxx = np.zeros(len(uniq), dtype=np.int64)
+    np.minimum.at(row_minx, inv, xs)
+    np.maximum.at(row_maxx, inv, xs)
+    spans = (row_maxx - row_minx + 1).astype(np.float64)
+    areas = np.bincount((uniq // img_h).astype(np.int64), weights=spans,
+                        minlength=n + 1)  # index = component id (0 = bg)
+
+    order = np.argsort(-areas[1:], kind="stable") + 1  # area-desc (T11 sort)
+
+    idx = 1
+    out: list[dict] = []
+    for comp in order:
+        cx, cy = int(x0[comp]), int(y0[comp])
+        cw, ch = int(x1[comp] - x0[comp] + 1), int(y1[comp] - y0[comp] + 1)
+        # P4 size filter (utils.py:96-104)
+        if cw < min_w or ch < min_h or cw > img_w * page_frac_max or ch > img_h * page_frac_max:
+            continue
+        region = page_image[cy : cy + ch, cx : cx + cw]
+        # P5 validity predicate (utils.py:52-57)
+        area_ratio = float(areas[comp]) / float(cw * ch)
+        if not (
+            float(np.std(region)) > std_min
+            and mean_lo < float(np.mean(region)) < mean_hi
+            and area_ratio > area_ratio_min
+            and _laplacian_var(bgr_to_gray(region)) < laplacian_var_max
+        ):
+            continue
+        image_url = f"image_{page_number + 1}_{idx}.png"
+        if image_mode == "url":
+            out.append({"image_url": image_url, "base64_encoded": None})
+        else:  # base64 (utils.py:127-139)
+            rgb = region[..., ::-1].copy()
+            png = encode_png(rgb)
+            b64 = base64.b64encode(png).decode("utf-8", errors="ignore")
+            out.append(
+                {
+                    "image_url": image_url,
+                    "base64_encoded": f"data:image/png;base64,{b64}",
+                }
+            )
+        idx += 1
+    return out
+
+
+def extract_images_from_marker_text(
+    text: str, image_mode: str, page_number: int, **kwargs
+) -> list[dict]:
+    """Render pages for every ``[[PAGE_IMAGE ...]]`` marker in ``text``
+    and run region extraction on each; concatenates results in marker
+    order (per-page idx numbering restarts like the reference's
+    per-page calls)."""
+    results: list[dict] = []
+    for m in MARKER_RE.finditer(text or ""):
+        w, h, seed = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        noise = int(m.group(4) or 0)
+        page = render_page(w, h, seed, noise)
+        results.extend(
+            extract_images(page, image_mode, page_number, **kwargs)
+        )
+    return results

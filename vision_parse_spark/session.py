@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Settings chosen for a large multi-executor cluster; in this sandbox
+``master`` is ``local[N]`` but every knob below is the one you would
+ship with ``spark-submit`` to a 1000-executor cluster:
+
+* AQE on (coalescing + skew-split) — long conversations make
+  per-``conv_id`` aggregations skewed (north_rule).
+* Arrow enabled with a bounded batch size so each ``mapInPandas``
+  batch's transient numpy pages fit executor memory (the analog of the
+  reference's per-page ``bitmap.close()`` hygiene,
+  ``parser.py:137-140``).
+* shuffle partitions sized to cores in the sandbox; on a real cluster
+  set ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vision-parse-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    # Make this package importable in executor Python workers no matter
+    # where the driver was launched from (the local-mode analog of
+    # `spark-submit --py-files engine.zip`; workers inherit PYTHONPATH).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
+
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
