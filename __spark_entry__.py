@@ -1,38 +1,552 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+training-data additions); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for the SQL-expressible
+queries (same aliases, floats rounded identically on both sides).
+Non-SQL-expressible entries (mapInPandas extraction, MinHash/SimHash
+signatures, LSH ANN) intentionally have no oracle -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship vision_parse_spark to executor Python workers.
+
+    The driver may build its own SparkSession from any cwd, so the
+    package must be distributed explicitly — the sandbox analog of
+    ``spark-submit --py-files engine.zip`` (north_rule deploy shape).
+    ``addPyFile`` is idempotent per file name."""
+    import zipfile
+
+    zpath = os.path.join("/tmp", "vision_parse_spark_pyfiles.zip")
+    src = os.path.join(_REPO, "vision_parse_spark")
+    newest = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(src) for f in fs if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            for root, _dirs, files in os.walk(src):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> transcripts shape -> fused mapInPandas
+    extraction (T4+T5+T6+P1+P2), per-turn markdown out."""
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.sources.readers import documents_as_transcripts
+
+    _ensure_pkg(spark)
+    df = documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    out = extract(df, ExtractConfig(image_mode="url"))
+    return out.select(
+        "conv_id", "turn_idx", "payload_kind", "markdown", "status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_markdown(spark, sf_dir):
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.sources.readers import documents_as_transcripts
+
+    _ensure_pkg(spark)
+    df = documents_as_transcripts(spark, sf_dir)
+    return extract(df, ExtractConfig(image_mode="url")).select(
+        "conv_id", "turn_idx", "payload_kind", "markdown", "status"
+    )
+
+
+def _q_extract_stats(spark, sf_dir):
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.sources.readers import documents_as_transcripts
+
+    _ensure_pkg(spark)
+    df = documents_as_transcripts(spark, sf_dir)
+    out = extract(df, ExtractConfig())
+    return out.groupBy("payload_kind", "status").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("markdown")).alias("md_chars"),
+    )
+
+
+def _q_fence_strip(spark, sf_dir):
+    # T6 llm.py:444-449 — Catalyst-native regexp_replace
+    from vision_parse_spark.functions.fences import strip_code_fences_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", strip_code_fences_col(F.col("text")).alias("clean_text")
+    )
+
+
+def _q_empty_rule(spark, sf_dir):
+    # P1 llm.py:333-334 — conditional projection, row count preserved
+    d = _t(spark, sf_dir, "documents")
+    empty = F.length(F.trim(F.col("text"))) == 0
+    return d.select(
+        "doc_id",
+        F.when(empty, F.lit("")).otherwise(F.col("text")).alias("markdown"),
+        F.when(empty, F.lit("empty")).otherwise(F.lit("ok")).alias("status"),
+    )
+
+
+def _q_fast_path(spark, sf_dir):
+    # P2 llm.py:336-346 — confidence + flags -> branch (SQL twin of the
+    # in-UDF mask logic)
+    d = _t(spark, sf_dir, "documents")
+    clean = F.length("text") - F.length(F.regexp_replace("text", "[a-z ]", ""))
+    conf = F.round(clean / F.length("text"), 2)
+    tables = F.col("text").contains("|")
+    latex = F.col("text").contains("$")
+    nonempty = F.length(F.trim("text")) > 0
+    fast = (conf > 0.6) & ~tables & ~latex & nonempty
+    return d.select(
+        "doc_id",
+        conf.alias("confidence"),
+        fast.alias("is_fast"),
+        F.when(fast, F.col("text"))
+        .otherwise(F.concat(F.lit("[[FMT]] "), F.col("text")))
+        .alias("routed"),
+    )
+
+
+def _q_ordered_turns(spark, sf_dir):
+    # A1 parser.py:183-190 ordering invariant as a window
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("turn_rank"),
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    # session windows over event streams (30-min gap rule)
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ — route through LTZ for epoch seconds
+    # (session tz pinned to UTC in get_spark, matching DuckDB's epoch())
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def _q_lev_similarity(spark, sf_dir):
+    # T15 scoring.py:23-28 — normalized levenshtein on adjacent docs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    p = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        1 - F.levenshtein("ta", "tb") / mx
+    )
+    return p.select("id_a", "id_b", F.round(sim, 6).alias("similarity"))
+
+
+def _q_accuracy_agg(spark, sf_dir):
+    # T16 scoring.py:53-60 — mean similarity per group
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang"),
+                 F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    p = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        1 - F.levenshtein("ta", "tb") / mx
+    )
+    # integer aggregate (sum of micro-similarities) — exact across
+    # engines; float means differ in the last ulp under different
+    # summation orders
+    sim_e6 = F.round(sim * 1000000).cast("long")
+    return p.groupBy("lang").agg(
+        F.sum(sim_e6).alias("sum_sim_e6"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from vision_parse_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower("text"),
+        F.lit(r"\b(?:the|a|an|and|or|of|to|in|is|it)\b"), 0))
+    len_ok = F.least(F.length("text") / 200.0, F.lit(1.0))
+    stop_ok = F.least(n_stop / n_tok / 0.2, F.lit(1.0))
+    # floor(x * 1e4) as integer: identical double bits in both engines
+    # (same expression order) -> identical floor; round() differs at
+    # half-way points (Spark decimal HALF_UP vs DuckDB double round)
+    score = F.floor((len_ok * 0.5 + stop_ok * 0.5) * 10000).cast("long")
+    return d.filter(n_tok > 0).select("doc_id", score.alias("quality_e4"))
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    def cnt(pat):
+        return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0))
+    en = cnt(r"\b(?:the|and|of|to|is)\b")
+    fr = cnt(r"\b(?:le|la|et|les|des)\b")
+    es = cnt(r"\b(?:el|los|las|una|por)\b")
+    de = cnt(r"\b(?:der|die|und|das|nicht)\b")
+    lang = (
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return d.select("doc_id", lang.alias("lang_pred"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from vision_parse_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    # non-SQL (xxhash64 signatures) -> rows-only check
+    from vision_parse_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id")
+
+
+def _q_simhash(spark, sf_dir):
+    # non-SQL (pandas-hash signatures) -> rows-only check
+    from vision_parse_spark.operators.dedup import simhash64
+
+    _ensure_pkg(spark)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from vision_parse_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    # non-SQL (hyperplane literals) -> rows-only check
+    from vision_parse_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 8), dim=dim, k=5,
+                        n_planes=4)
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from vision_parse_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4)
+
+
+def _q_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: partial-agg friendly, tests shuffle/agg physics
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    # broadcast join: small dim (customer) broadcast to orders scan
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_markdown": _q_extract_markdown,
+        "extract_stats": _q_extract_stats,
+        "fence_strip": _q_fence_strip,
+        "empty_rule": _q_empty_rule,
+        "fast_path": _q_fast_path,
+        "ordered_turns": _q_ordered_turns,
+        "sessionize": _q_sessionize,
+        "lev_similarity": _q_lev_similarity,
+        "accuracy_agg": _q_accuracy_agg,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same aliases, same rounding)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lev_pairs = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CASE WHEN greatest(length(a.text), length(b.text)) = 0
+                     THEN 1.0
+                     ELSE 1 - levenshtein(a.text, b.text)
+                          / greatest(length(a.text), length(b.text)) END,
+                     6) AS similarity,
+               a.lang AS lang
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     """
-    return {}
+    return {
+        "fence_strip": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '```(?:markdown)?\n(.*?)\n```',
+                                  '\1', 'gs') AS clean_text
+            FROM documents
+        """,
+        "empty_rule": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN '' ELSE text END
+                       AS markdown,
+                   CASE WHEN length(trim(text)) = 0 THEN 'empty' ELSE 'ok' END
+                       AS status
+            FROM documents
+        """,
+        "fast_path": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     round((length(text)
+                            - length(regexp_replace(text, '[a-z ]', '', 'g')))
+                           * 1.0 / length(text), 2) AS confidence,
+                     contains(text, '|') AS has_tables,
+                     contains(text, '$') AS has_latex,
+                     length(trim(text)) > 0 AS nonempty
+              FROM documents)
+            SELECT doc_id, confidence,
+                   (confidence > 0.6 AND NOT has_tables AND NOT has_latex
+                    AND nonempty) AS is_fast,
+                   CASE WHEN (confidence > 0.6 AND NOT has_tables
+                              AND NOT has_latex AND nonempty)
+                        THEN text ELSE '[[FMT]] ' || text END AS routed
+            FROM f
+        """,
+        "ordered_turns": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS turn_rank
+            FROM events
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch(ts) - lag(epoch(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT user_id, event_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g
+        """,
+        "lev_similarity": f"SELECT id_a, id_b, similarity FROM ({lev_pairs})",
+        "accuracy_agg": """
+            WITH p AS (
+              SELECT a.lang AS lang,
+                     CASE WHEN greatest(length(a.text), length(b.text)) = 0
+                          THEN 1.0
+                          ELSE 1 - levenshtein(a.text, b.text)
+                               / greatest(length(a.text), length(b.text)) END
+                         AS sim
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+            SELECT lang,
+                   CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_sim_e6,
+                   count(*) AS n_pairs
+            FROM p GROUP BY lang
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
+                     length(text) AS n_chars
+              FROM documents)
+            SELECT doc_id,
+                   CAST(floor((least(n_chars / 200.0, 1.0) * 0.5
+                         + least(n_stop * 1.0 / n_tok / 0.2, 1.0) * 0.5)
+                         * 10000) AS BIGINT) AS quality_e4
+            FROM s WHERE n_tok > 0
+        """,
+        "lang_id": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|and|of|to|is)\b')) AS en,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:le|la|et|les|des)\b')) AS fr,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:el|los|las|una|por)\b')) AS es,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:der|die|und|das|nicht)\b')) AS de
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN en >= fr AND en >= es AND en >= de AND en > 0
+                          THEN 'en'
+                        WHEN fr >= es AND fr >= de AND fr > 0 THEN 'fr'
+                        WHEN es >= de AND es > 0 THEN 'es'
+                        WHEN de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_pred
+            FROM c
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(len(t) - 2),
+                                 i -> array_to_string(t[i + 1 : i + 3], ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                         THEN len(list_intersect(a.s, b.s)) * 1.0
+                              / len(list_distinct(list_concat(a.s, b.s)))
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, e.embedding), 4)
+                         AS cosine
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.qid),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            HAVING count(*) >= 3
+        """,
+    }

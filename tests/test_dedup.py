@@ -1,0 +1,112 @@
+"""Dedup operator tests with planted duplicates — exact, n-gram
+jaccard, MinHash+LSH, SimHash."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    with_minhash,
+    with_shingles,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before sunset falls tonight")
+NEAR = BASE.replace("green", "dark")  # one-token change -> near dup
+OTHER = ("completely different content about spark shuffle partitions "
+         "and adaptive query execution with skew join handling enabled")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, OTHER),
+        (4, "tiny"),        # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).orderBy("keeper_id").collect()
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    by_keeper = {r.keeper_id: r.dup_count for r in out}
+    assert by_keeper[0] == 2  # doc 0 and 1 share a hash
+    assert by_keeper[2] == 1
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    sh = with_shingles(df, "text", 3).first().shingles
+    assert sh == ["a b c", "b c d", "c d e"]  # size - n + 1
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    assert with_shingles(df, "text", 3).first().shingles == ["a b"]
+
+
+def test_minhash_signature_shape(spark, docs):
+    row = with_minhash(docs, num_perm=32).first()
+    assert len(row.minhash) == 32
+    assert all(v >= 0 for v in row.minhash)
+
+
+def test_minhash_identical_texts_identical_signatures(spark, docs):
+    rows = {r.doc_id: r.minhash
+            for r in with_minhash(docs, num_perm=32).collect()}
+    assert rows[0] == rows[1]
+    # near-dup shares most mins, different doc shares few
+    agree_near = sum(a == b for a, b in zip(rows[0], rows[2]))
+    agree_other = sum(a == b for a, b in zip(rows[0], rows[3]))
+    assert agree_near > agree_other
+
+
+def test_minhash_lsh_pairs_finds_near_dup(spark, docs):
+    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=16,
+                              jaccard_threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got  # near dup above threshold
+    assert not any(3 in p for p in got)  # OTHER never pairs
+
+
+def test_minhash_dedup_survivors(spark, docs):
+    surv = {r.doc_id for r in
+            minhash_dedup(docs, num_perm=32, bands=16,
+                          jaccard_threshold=0.5).collect()}
+    assert 0 in surv          # smallest id kept
+    assert 1 not in surv      # exact dup dropped
+    assert 2 not in surv      # near dup dropped
+    assert {3, 4} <= surv
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0
+    assert out[(2, 3)] == 0.0
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = simhash_near_dups(docs, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(0, 1)] == 0  # identical text -> identical simhash
+    assert (0, 2) in got     # near dup within hamming budget
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_deterministic(spark, docs):
+    from vision_parse_spark.operators.dedup import simhash64
+
+    a = docs.select(simhash64(F.col("text")).alias("s")).collect()
+    b = docs.select(simhash64(F.col("text")).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]

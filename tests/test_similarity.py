@@ -1,0 +1,72 @@
+"""Similarity-search operator tests: exact brute-force cosine top-k
+and LSH-bucketed ANN over array<float> embedding columns."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    embedding_near_dups,
+    with_lsh_bucket,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, DIM))
+    base[1] = base[0] + 0.01 * rng.standard_normal(DIM)  # near dup of 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    pdf = vectors.toPandas().sort_values("vec_id")
+    m = np.stack(pdf.embedding.map(np.array))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+
+    out = brute_force_topk(vectors, vectors.filter(F.col("vec_id") < 3), k=4)
+    got = out.orderBy("query_id", "rank").collect()
+    for q in range(3):
+        expect = np.argsort(-np.round(sims[q], 4), kind="stable")[:4]
+        got_q = [r.neighbor_id for r in got if r.query_id == q]
+        assert got_q == list(expect)
+
+
+def test_topk_excludes_self(spark, vectors):
+    out = brute_force_topk(vectors, vectors, k=3).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_near_dup_is_rank_one(spark, vectors):
+    out = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=1)
+    r = out.first()
+    assert r.neighbor_id == 1 and r.cosine > 0.99
+
+
+def test_lsh_bucket_deterministic_and_similar_collide(spark, vectors):
+    b = with_lsh_bucket(vectors, DIM, n_planes=8)
+    rows = {r.vec_id: r.lsh_bucket for r in b.collect()}
+    rows2 = {r.vec_id: r.lsh_bucket
+             for r in with_lsh_bucket(vectors, DIM, n_planes=8).collect()}
+    assert rows == rows2
+    assert rows[0] == rows[1]  # near-identical vectors share all signs
+
+
+def test_ann_finds_planted_near_dup(spark, vectors):
+    out = ann_topk_lsh(vectors, vectors.filter(F.col("vec_id") == 0),
+                       dim=DIM, k=3, n_planes=6)
+    rows = out.collect()
+    assert rows and rows[0].neighbor_id == 1  # collides + ranks first
+
+
+def test_embedding_near_dups_threshold(spark, vectors):
+    out = embedding_near_dups(vectors, dim=DIM, threshold=0.95, n_planes=6)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(0, 1)}

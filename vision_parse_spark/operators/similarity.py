@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline addition (no analog in the reference):
+* brute-force cosine top-k — the correctness baseline; Catalyst-native
+  dot product via ``F.zip_with`` + ``F.aggregate`` (JVM, codegen).
+* LSH-bucketed ANN (random hyperplanes) — the scale path: signature
+  -> bucket join, so the cross product is restricted to collisions.
+* embedding-cosine near-dup: pairs above a cosine threshold.
+
+Scale notes: brute force is O(Q x N) — fine for small Q (probe
+queries) even at large N because it is one broadcast of Q rows against
+a scan of N; all-pairs work must go through the LSH path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim_col(a, b):
+    """Catalyst cosine similarity between two array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus scan; rank per query with a window.  Ties broken by
+    neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("n_vec")),
+                    round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+    seed: int = 13,
+) -> DataFrame:
+    """Random-hyperplane signature as one long bucket id: bit i =
+    sign(v . h_i).  All Catalyst (literal plane arrays, zip_with)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(_dot(F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1)
+               ).otherwise(F.lit(0)).cast("long")
+        for p in planes
+    ]
+    bucket = bits[0]
+    for i, b in enumerate(bits[1:], start=1):
+        bucket = bucket + (b * F.lit(2 ** i))
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane
+    buckets.  Recall grows with fewer planes; the bucket join replaces
+    the cross product (the 100 TB strategy)."""
+    c = with_lsh_bucket(
+        df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("n_vec")),
+        dim, n_planes, "n_vec",
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec")),
+        dim, n_planes, "q_vec",
+    )
+    sims = (
+        c.join(F.broadcast(q), "lsh_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("n_vec")), 4)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    verify (cosine >= threshold), id_a < id_b."""
+    b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
+    l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                 "lsh_bucket")
+    r = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                 "lsh_bucket")
+    return (
+        l.join(r, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_sim_col(F.col("v_a"), F.col("v_b")), 4)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
