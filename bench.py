@@ -1,0 +1,109 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "extract_turns_per_sec": ..., "extract_turns": ...}
+
+The headline is the extraction pipeline itself (read parquet ->
+fused mapInPandas -> write parquet), measured as turns/sec over a
+deterministic synthetic transcripts table (BASELINE.md target), plus
+the representative operator queries from __spark_entry__ at the given
+scale dir.
+
+For the N vs 4N scaling-efficiency evidence (north_rule), run
+``python tools/bench_scaling.py`` which invokes this file at
+SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TURNS = int(os.environ.get("VPS_BENCH_TURNS", "200000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# operator queries included in the timed suite (names from
+# __spark_entry__.queries(); chosen to cover scan/agg, broadcast join,
+# window, LSH dedup, vector top-k, python-stage extraction)
+BENCH_QUERIES = [
+    "extract_markdown",
+    "pricing_summary",
+    "top_customers",
+    "sessionize",
+    "minhash_dedup",
+    "cosine_topk",
+    "lev_similarity",
+]
+
+
+def _input_parquet(spark, n_turns: int) -> str:
+    """Deterministic bench input, generated distributed and cached on
+    disk so every run (and both scaling arms) reads identical files."""
+    path = f"/tmp/vps_bench_input_{n_turns}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from vision_parse_spark.synth import synth_transcripts_spark
+
+        synth_transcripts_spark(spark, n_turns, partitions=max(CPUS, 16)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def main():
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.session import get_spark
+    import __spark_entry__ as em
+
+    spark = get_spark(
+        "vps-bench", cores=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+
+    # --- headline: extraction throughput over the transcripts table ---
+    inp = _input_parquet(spark, BENCH_TURNS)
+    out_path = f"/tmp/vps_bench_out_{CPUS}"
+    t0 = time.perf_counter()
+    df = spark.read.parquet(inp)
+    res = extract(df, ExtractConfig(image_mode="url"))
+    res.write.mode("overwrite").parquet(out_path)
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    n_out = spark.read.parquet(out_path).count()
+    assert n_out == BENCH_TURNS, f"row loss: {n_out} != {BENCH_TURNS}"
+
+    # --- operator queries at the sf dir ---
+    qs = em.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side collect cost
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "extract_turns": BENCH_TURNS,
+        "extract_turns_per_sec": round(BENCH_TURNS / extract_sec, 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Resumable MERGE-emulation sink tests: exactly-once after a
+simulated mid-run kill (north_rule resume requirement)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark import ExtractConfig, extract
+from vision_parse_spark.sinks.merge import (
+    completed_buckets,
+    merge_write,
+    read_lineage,
+    read_merged,
+    verify_lineage,
+)
+from vision_parse_spark.synth import synth_transcripts_spark
+
+N_TURNS = 400
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "merged")
+
+
+@pytest.fixture(scope="module")
+def result_df(spark):
+    df = synth_transcripts_spark(spark, N_TURNS, partitions=4)
+    return extract(df, ExtractConfig()).select(
+        "conv_id", "turn_idx", "markdown", "status"
+    )
+
+
+def test_full_write_and_readback(spark, result_df, out_dir):
+    summary = merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    assert summary["written"] == list(range(N_BUCKETS))
+    back = read_merged(spark, out_dir)
+    assert back.count() == N_TURNS
+    # key-level exactly-once
+    assert back.select("conv_id", "turn_idx").distinct().count() == N_TURNS
+    assert verify_lineage(spark, out_dir)
+
+
+def test_lineage_rows_shape(spark, result_df, out_dir):
+    merge_write(result_df, out_dir, run_id="r1", n_buckets=N_BUCKETS)
+    lin = read_lineage(spark, out_dir)
+    rows = lin.collect()
+    assert len(rows) == N_BUCKETS
+    cols = set(lin.columns)
+    assert {"run_id", "partition_id", "input_split", "row_count",
+            "bytes", "checksum"} <= cols
+    assert sum(r["row_count"] for r in rows) == N_TURNS
+
+
+def test_resume_after_simulated_kill(spark, result_df, out_dir):
+    """Kill scenario: first run committed only 3 buckets (we drop the
+    other manifests + their data to simulate dying mid-write); rerun
+    must recompute exactly the missing buckets and end exactly-once."""
+    merge_write(result_df, out_dir, run_id="r1", n_buckets=N_BUCKETS)
+    # simulate: manifests for buckets >= 3 never written, their data
+    # partially present (we leave bucket dirs in place -> overwrite
+    # path) or absent (we delete one -> recompute path)
+    for b in range(3, N_BUCKETS):
+        os.remove(os.path.join(out_dir, "_lineage", f"bucket_{b:05d}.json"))
+    shutil.rmtree(os.path.join(out_dir, "bucket=5"))
+
+    assert completed_buckets(out_dir) == {0, 1, 2}
+    summary = merge_write(result_df, out_dir, run_id="r2", n_buckets=N_BUCKETS)
+    assert summary["written"] == [3, 4, 5, 6, 7]
+    assert summary["skipped"] == [0, 1, 2]
+
+    back = read_merged(spark, out_dir)
+    assert back.count() == N_TURNS
+    assert back.select("conv_id", "turn_idx").distinct().count() == N_TURNS
+    assert verify_lineage(spark, out_dir)
+    # committed buckets kept their original run_id (not recomputed)
+    lin = {r["partition_id"]: r["run_id"]
+           for r in read_lineage(spark, out_dir).collect()}
+    assert lin[0] == "r1" and lin[5] == "r2"
+
+
+def test_rerun_is_noop(spark, result_df, out_dir):
+    merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    summary = merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    assert summary["written"] == [] and summary["rows"] == 0
+
+
+def test_uncommitted_bucket_invisible_to_readers(spark, result_df, out_dir):
+    merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    os.remove(os.path.join(out_dir, "_lineage", "bucket_00004.json"))
+    back = read_merged(spark, out_dir)
+    full = spark.read.parquet(out_dir)
+    assert back.count() < full.count()  # bucket 4 filtered out
+    assert back.filter(F.col("bucket") == 4).count() == 0

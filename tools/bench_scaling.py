@@ -1,0 +1,104 @@
+"""Scaling-efficiency evidence (north_rule): run the extraction
+pipeline at two parallelism levels — local[8] vs local[32], the
+sandbox stand-in for N vs 4N executor clusters — on the SAME input,
+and report throughput at both plus efficiency.
+
+efficiency = (throughput_4N / throughput_N) / 4      (target >= 0.8)
+
+Each arm runs in its own subprocess (a JVM's core count is fixed at
+startup).  Results land in BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_turns] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARM = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["VPS_REPO"])
+from vision_parse_spark import ExtractConfig, extract
+from vision_parse_spark.session import get_spark
+
+cpus = int(os.environ["VPS_CPUS"])
+inp = os.environ["VPS_INPUT"]
+spark = get_spark(f"scaling-{cpus}", cores=cpus,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+# warm JVM + the full set of Python UDF workers before the timed run
+# (steady-state throughput is the scaling quantity; worker spin-up is
+# a per-cluster constant, not per-byte work)
+warm = spark.read.parquet(inp).repartition(cpus).limit(cpus * 256)
+extract(warm, ExtractConfig(image_mode="url")).count()
+df = spark.read.parquet(inp)
+t0 = time.perf_counter()
+extract(df, ExtractConfig(image_mode="url")).write.mode("overwrite") \
+    .parquet(f"/tmp/vps_scaling_out_{cpus}")
+sec = time.perf_counter() - t0
+n = spark.read.parquet(f"/tmp/vps_scaling_out_{cpus}").count()
+print(json.dumps({"cpus": cpus, "sec": round(sec, 3),
+                  "turns": n, "turns_per_sec": round(n / sec, 1)}))
+"""
+
+
+def gen_input(n_turns: int) -> str:
+    env = dict(os.environ, VPS_REPO=REPO)
+    code = (
+        "import sys, os; sys.path.insert(0, os.environ['VPS_REPO']);\n"
+        "from vision_parse_spark.session import get_spark\n"
+        "from vision_parse_spark.synth import synth_transcripts_spark\n"
+        f"path = '/tmp/vps_bench_input_{n_turns}'\n"
+        "if not os.path.exists(path + '/_SUCCESS'):\n"
+        "    s = get_spark('gen', cores=32,\n"
+        "        extra_conf={'spark.ui.showConsoleProgress': 'false'})\n"
+        f"    synth_transcripts_spark(s, {n_turns}, partitions=64)"
+        ".write.mode('overwrite').parquet(path)\n"
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   stderr=subprocess.DEVNULL)
+    return f"/tmp/vps_bench_input_{n_turns}"
+
+
+def run_arm(cpus: int, inp: str) -> dict:
+    env = dict(os.environ, VPS_REPO=REPO, VPS_CPUS=str(cpus), VPS_INPUT=inp)
+    out = subprocess.run([sys.executable, "-c", ARM], env=env, check=True,
+                         capture_output=True, text=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    inp = gen_input(n_turns)
+
+    results = {8: [], 32: []}
+    for _ in range(repeats):
+        for cpus in (8, 32):
+            r = run_arm(cpus, inp)
+            results[cpus].append(r)
+            print(json.dumps(r))
+
+    best = {c: max(r["turns_per_sec"] for r in results[c]) for c in results}
+    eff = (best[32] / best[8]) / 4
+    summary = {
+        "n_turns": n_turns,
+        "repeats": repeats,
+        "turns_per_sec_local8": best[8],
+        "turns_per_sec_local32": best[32],
+        "scaling_efficiency": round(eff, 3),
+        "passes_0.8": eff >= 0.8,
+        "all_runs": results,
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

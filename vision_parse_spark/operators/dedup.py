@@ -102,9 +102,12 @@ def with_minhash(df: DataFrame, text_col: str = "text", num_perm: int = 64,
                  out_col: str = "minhash") -> DataFrame:
     """MinHash signature column (array<bigint> of length num_perm).
 
-    Catalyst-native: shingles -> xxhash64 -> num_perm affine
-    permutations, each reduced with array_min.  Entirely JVM-side,
-    whole-stage-codegen'd; no Python in the path."""
+    Catalyst-native reference implementation: shingles -> xxhash64 ->
+    num_perm affine permutations, each reduced with array_min.  NOTE:
+    Spark's higher-order array lambdas are interpreted (not
+    whole-stage-codegen'd), so at num_perm=64 the Arrow-vectorized
+    ``with_minhash_np`` below is ~10x faster and is what the LSH path
+    uses; this variant is kept as the pure-SQL reference."""
     a, b = _perm_params(num_perm, seed)
     sh = with_shingles(df, text_col, shingle_n, out_col="_sh")
     hashed = sh.withColumn(
@@ -122,6 +125,50 @@ def with_minhash(df: DataFrame, text_col: str = "text", num_perm: int = 64,
     return hashed.withColumn(out_col, mins).drop("_sh", "_h")
 
 
+def _shingle_lists(texts: pd.Series, n: int) -> pd.Series:
+    """Vectorized word n-gram shingling in pandas (distinct per doc)."""
+    toks = texts.fillna("").str.lower().str.findall(r"\S+")
+
+    def grams(ts: list) -> list:
+        if len(ts) < n:
+            return [" ".join(ts)]
+        return list(dict.fromkeys(
+            " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+        ))
+
+    return toks.map(grams)
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
+    """Arrow-batched numpy MinHash: one (num_perm x total_shingles)
+    matrix op per batch, segmented min via ``np.minimum.reduceat``.
+    The 100 TB hot path (higher-order Catalyst lambdas are interpreted
+    and ~10x slower at this permutation count)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_np(texts: pd.Series) -> pd.Series:
+        sh = _shingle_lists(texts, shingle_n)
+        lengths = sh.map(len).to_numpy()
+        flat = [s for lst in sh for s in lst]
+        if not flat:
+            return pd.Series([[]] * len(texts), index=texts.index)
+        h = (
+            pd.util.hash_pandas_object(pd.Series(flat), index=False)
+            .to_numpy().astype(np.uint64) % np.uint64(_PRIME)
+        ).astype(np.int64)
+        # (P, S) permuted hashes; segmented min per doc
+        perm = (a[:, None] * h[None, :] + b[:, None]) % _PRIME
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        mins = np.minimum.reduceat(perm, offsets, axis=1)  # (P, n_docs)
+        out = mins.T.tolist()
+        return pd.Series(out, index=texts.index)
+
+    return minhash_np
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, shingle_n: int = 3,
@@ -133,31 +180,54 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     exact shingle jaccard >= threshold.  Returns (id_a, id_b, jaccard)
     with id_a < id_b."""
     rows_per_band = num_perm // bands
-    mh = with_minhash(df.select(id_col, text_col), text_col, num_perm,
-                      shingle_n)
-    banded = mh.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> xxhash64(concat_ws(',', slice(minhash, "
-                f"b * {rows_per_band} + 1, {rows_per_band})), b))"
-            )
-        ).alias("band", "bucket"),
+    mh_udf = make_minhash_udf(num_perm, shingle_n)
+    src = df.select(id_col, text_col)
+    # small sources often arrive as one file -> one partition, which
+    # would serialize the signature UDF; rebalance up to the cluster's
+    # parallelism (no-op shuffle avoidance when already parallel)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < max(par // 2, 2):
+        src = src.repartition(par)
+    # id-only banded frame, persisted: it feeds BOTH sides of the
+    # self-join — without materialization the signature UDF lineage
+    # would be recomputed per join side and again per downstream stage
+    banded = (
+        src.withColumn("minhash", mh_udf(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> xxhash64(concat_ws(',', slice(minhash, "
+                    f"b * {rows_per_band} + 1, {rows_per_band})), b))"
+                )
+            ).alias("band", "bucket"),
+        )
+        .persist()
     )
-    left = banded.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
-                         "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
-                          "band", "bucket")
+    banded.count()  # materialize BEFORE the self-join so both sides
+    # read the cache (persist alone doesn't guarantee reuse when both
+    # branches of one job race to populate it)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
-    sh_a = with_shingles(cand, "text_a", shingle_n, "sh_a")
-    both = with_shingles(sh_a, "text_b", shingle_n, "sh_b")
+    cand.count()  # materialize: gives AQE real stats for the verify
+    # joins (tiny cand side -> broadcast) instead of recomputing the
+    # banded self-join lineage inside the verify job
+    banded.unpersist()  # cand is materialized; signatures no longer needed
+    # texts joined back by id (scan twice, cheap vs recomputing the
+    # signature lineage), then exact-jaccard verification
+    a = with_shingles(src, text_col, shingle_n, "sh_a").select(
+        F.col(id_col).alias("id_a"), "sh_a")
+    b = with_shingles(src, text_col, shingle_n, "sh_b").select(
+        F.col(id_col).alias("id_b"), "sh_b")
+    both = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,84 @@
+"""Structured Streaming surface for the extraction pipeline.
+
+The reference is strictly batch (one PDF per call); at transcript
+scale the same per-turn extraction must also run continuously over an
+arriving turn stream.  The fused ``mapInPandas`` stage is stateless
+per-row, so it lifts to a streaming DataFrame unchanged — one code
+path for batch and streaming (the Spark idiom).
+
+Provided:
+* ``extract_stream`` — readStream (parquet dir source; Kafka/Iceberg
+  at production) -> the SAME ``extract()`` transformation.
+* ``write_stream_merged`` — writeStream to parquet with checkpointing;
+  ``Trigger.AvailableNow`` drains the backlog exactly-once and stops
+  (the streaming analog of the batch MERGE resume).
+* ``turn_rate_per_conv`` — watermarked windowed aggregation (late-data
+  handling) counting turns per conversation per window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ExtractConfig
+from ..operators.pipeline import extract
+from ..schema import TRANSCRIPT_SCHEMA
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    cfg: ExtractConfig | None = None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming transcripts -> streaming extraction output."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return extract(stream, cfg or ExtractConfig())
+
+
+def write_stream_merged(
+    out: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink: parquet + checkpoint dir.  With
+    ``available_now`` the query drains current input and finishes —
+    used for incremental backfills and in tests."""
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def turn_rate_per_conv(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation over the turn stream: turns and
+    distinct roles per conv per window; late rows beyond the watermark
+    are dropped (bounded state at 10^12-turn scale)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct("role").alias("n_roles"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id", "n_turns", "n_roles",
+        )
+    )
