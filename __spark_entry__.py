@@ -308,6 +308,28 @@ def _q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4)
 
 
+def _q_explode_pages(spark, sf_dir):
+    # S2 page enumeration (parser.py:166-191) for multi-page payloads:
+    # posexplode over form-feed split, row-per-page
+    from vision_parse_spark.operators.pages import explode_pages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return explode_pages(d).select("doc_id", "page_idx", "page_text")
+
+
+def _q_doc_assembly(spark, sf_dir):
+    # T13 benchmark join (scoring.py:47-48): ordered per-document
+    # markdown assembly -- deterministic via sorted struct collect
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(doc_id, text))), x -> x.text), '\n')"
+        ).alias("doc"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: partial-agg friendly, tests shuffle/agg physics
     li = _t(spark, sf_dir, "lineitem")
@@ -358,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
+        "explode_pages": _q_explode_pages,
+        "doc_assembly": _q_doc_assembly,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -514,6 +538,22 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(list_concat(a.s, b.s)))
                          ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "explode_pages": """
+            WITH p AS (SELECT doc_id, string_split(text, chr(12)) AS pages
+                       FROM documents)
+            SELECT doc_id,
+                   unnest(list_transform(range(len(pages)),
+                          i -> {'page_idx': CAST(i AS INT),
+                                'page_text': pages[i+1]}),
+                          recursive := true)
+            FROM p
+        """,
+        "doc_assembly": """
+            SELECT source,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS doc,
+                   count(*) AS n_parts
+            FROM documents GROUP BY source
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv

@@ -1,0 +1,82 @@
+"""T14-T16 scoring-harness tests (lift of benchmarks/scoring.py) +
+S2/T1 page helpers."""
+
+import math
+
+import pytest
+
+from vision_parse_spark.benchmarks.scoring import (
+    accuracy_score,
+    bleu_score,
+    bleu_udf_factory,
+    levenshtein_similarity,
+)
+from vision_parse_spark.operators.pages import explode_pages, page_render_scale
+
+
+def test_render_scale_matches_reference():
+    # parser.py:100-102: scale = dpi / 72 * 2; default dpi 400 -> 11.11
+    assert page_render_scale(400) == pytest.approx(11.1111, abs=1e-3)
+    assert page_render_scale(72) == 2.0
+
+
+def test_bleu_identical_is_one():
+    t = "the quick brown fox jumps over the lazy dog today"
+    assert bleu_score(t, t) == pytest.approx(1.0)
+
+
+def test_bleu_disjoint_is_zero():
+    assert bleu_score("alpha beta gamma delta", "wholly other words here") == 0.0
+
+
+def test_bleu_partial_between():
+    gen = "the quick brown fox jumps over a sleepy dog in town"
+    ref = "the quick brown fox jumps over the lazy dog today"
+    s = bleu_score(gen, ref)
+    assert 0.0 < s < 1.0
+
+
+def test_bleu_brevity_penalty():
+    ref = "one two three four five six seven eight nine ten"
+    short = "one two three four five"
+    full = ref
+    assert bleu_score(short, ref) < bleu_score(full, ref)
+
+
+def test_levenshtein_similarity_reference_cases():
+    # scoring.py:23-28 semantics
+    assert levenshtein_similarity("", "") == 1.0
+    assert levenshtein_similarity("abc", "abc") == 1.0
+    assert levenshtein_similarity("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert levenshtein_similarity("", "xyz") == 0.0
+
+
+def test_accuracy_is_mean():
+    g, t = "a b c", "a b d"
+    assert accuracy_score(g, t) == pytest.approx(
+        (bleu_score(g, t) + levenshtein_similarity(g, t)) / 2
+    )
+
+
+def test_bleu_udf_matches_scalar(spark):
+    rows = [
+        ("the quick brown fox", "the quick brown fox"),
+        ("totally different words", "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, ["gen", "truth"])
+    bleu = bleu_udf_factory()
+    got = [r.b for r in df.select(bleu("gen", "truth").alias("b")).collect()]
+    want = [bleu_score(g, t) for g, t in rows]
+    assert got == pytest.approx(want)
+
+
+def test_explode_pages(spark):
+    df = spark.createDataFrame(
+        [(1, "page one\ftwo here\fthree"), (2, "single page")],
+        ["doc_id", "text"],
+    )
+    out = explode_pages(df).orderBy("doc_id", "page_idx").collect()
+    assert [(r.doc_id, r.page_idx, r.page_text) for r in out] == [
+        (1, 0, "page one"), (1, 1, "two here"), (1, 2, "three"),
+        (2, 0, "single page"),
+    ]

@@ -1,0 +1,95 @@
+"""T14-T16 — the scoring harness, lifted from the reference's
+``benchmarks/scoring.py``.
+
+* ``bleu_score`` — sentence BLEU with uniform 4-gram weights over
+  lowercased word tokens, mirroring ``scoring.py:16-20``
+  (``sentence_bleu(reference_tokens, generated_tokens)`` with nltk
+  defaults: modified n-gram precision, smoothing off, brevity
+  penalty).  Implemented from the published BLEU definition (Papineni
+  et al. 2002) in pure Python/numpy — nltk is not available here.
+* ``levenshtein_similarity`` — ``scoring.py:23-28``:
+  ``1 - distance/max(len)``, 1.0 when both empty.
+* ``accuracy_score`` — ``scoring.py:53-55``: ``(bleu + lev) / 2``.
+
+Distribution: at corpus scale these run as Catalyst expressions where
+possible (``F.levenshtein``) and as an Arrow-batched pandas UDF for
+BLEU (`bleu_udf`); the driver-side scalars below are the golden
+reference used in tests.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z]+)?|[^\w\s]")
+
+
+def _tokens(text: str) -> list[str]:
+    """Lowercased word tokenization (nltk.word_tokenize approximation:
+    words, contractions, punctuation as separate tokens)."""
+    return _TOKEN_RE.findall((text or "").lower())
+
+
+def bleu_score(generated: str, truth: str, max_n: int = 4) -> float:
+    """Sentence BLEU (uniform weights, brevity penalty, no smoothing:
+    any zero n-gram precision gives 0.0 like nltk's default)."""
+    gen = _tokens(generated)
+    ref = _tokens(truth)
+    if not gen or not ref:
+        return 0.0
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        gen_ngrams = Counter(
+            tuple(gen[i : i + n]) for i in range(len(gen) - n + 1)
+        )
+        ref_ngrams = Counter(
+            tuple(ref[i : i + n]) for i in range(len(ref) - n + 1)
+        )
+        overlap = sum(min(c, ref_ngrams[g]) for g, c in gen_ngrams.items())
+        total = max(sum(gen_ngrams.values()), 1)
+        if overlap == 0:
+            return 0.0
+        log_sum += math.log(overlap / total) / max_n
+    bp = 1.0 if len(gen) > len(ref) else math.exp(1 - len(ref) / max(len(gen), 1))
+    return bp * math.exp(log_sum)
+
+
+def levenshtein_similarity(generated: str, truth: str) -> float:
+    """scoring.py:23-28 exactly (1.0 when both empty)."""
+    a, b = generated or "", truth or ""
+    if not a and not b:
+        return 1.0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return 1 - prev[-1] / max(len(a), len(b))
+
+
+def accuracy_score(generated: str, truth: str) -> float:
+    """scoring.py:53-55: (bleu + levenshtein)/2."""
+    return (bleu_score(generated, truth)
+            + levenshtein_similarity(generated, truth)) / 2
+
+
+def bleu_udf_factory():
+    """Arrow-batched pandas UDF: BLEU of (generated, truth) column
+    pairs for corpus-scale scoring."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def bleu(gen: pd.Series, truth: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bleu_score(g, t) for g, t in zip(gen, truth)],
+            index=gen.index, dtype="float64",
+        )
+
+    return bleu

@@ -185,8 +185,15 @@ def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
         if ra != rc:
             parent[max(ra, rc)] = min(ra, rc)
 
-    # resolve all run roots, compact to 1..n
-    roots = np.array([find(i) for i in range(n_runs + 1)])
+    # resolve all run roots at once (vectorized pointer-jumping: the
+    # union loop above only touches overlap pairs, so full resolution
+    # here is a handful of O(n) passes instead of n find() calls)
+    roots = parent
+    while True:
+        hopped = roots[roots]
+        if np.array_equal(hopped, roots):
+            break
+        roots = hopped
     uniq, compact = np.unique(roots[1:], return_inverse=True)
     lut = np.zeros(n_runs + 1, dtype=np.int32)
     lut[1:] = compact + 1
