@@ -15,6 +15,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -330,6 +331,29 @@ def _q_doc_assembly(spark, sf_dir):
     )
 
 
+def _q_conv_stats(spark, sf_dir):
+    # north_rule skew handling: salted two-phase per-conv aggregation;
+    # oracle is the plain GROUP BY (results must be identical)
+    from vision_parse_spark.operators.aggregate import conv_stats_salted
+
+    d = _t(spark, sf_dir, "documents")
+    return conv_stats_salted(d, group_col="source", length_col="text")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    # rolling-hash document fingerprint (pandas hashing -> rows-only)
+    from vision_parse_spark.functions.text_stats import doc_fingerprint
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        return doc_fingerprint(texts)
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fp(F.col("text")).alias("fingerprint")
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: partial-agg friendly, tests shuffle/agg physics
     li = _t(spark, sf_dir, "lineitem")
@@ -385,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
+        "conv_stats": _q_conv_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -569,6 +595,14 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS rank
               FROM s)
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "conv_stats": """
+            SELECT source,
+                   count(*) AS n_turns,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   min(text) AS min_text,
+                   max(text) AS max_text
+            FROM documents GROUP BY source
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

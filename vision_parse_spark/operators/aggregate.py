@@ -1,0 +1,67 @@
+"""Skew-safe per-conversation aggregation (north_rule).
+
+Turn-grain extraction is shuffle-free, but anything grouped per
+``conv_id`` inherits the Zipf skew of conversation lengths (one
+10^8-turn conversation = one straggler reducer).  The standard fix is
+two-phase salted aggregation:
+
+    phase 1: groupBy(conv_id, salt)  — the hot key spreads over
+             ``salt_buckets`` reducers, partial aggregates are tiny
+    phase 2: groupBy(conv_id)        — combines ``salt_buckets``
+             partials per key, trivially balanced
+
+Only algebraic aggregates (count/sum/min/max) distribute this way;
+``conv_stats_salted`` exposes exactly those.  AQE's skew handling
+covers joins, not aggregations — hence explicit salting here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conv_stats_salted(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    length_col: str = "text",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-conversation turn count / char sum / ts span, computed with
+    a salted two-phase aggregation.  Result is identical to a direct
+    ``groupBy(group_col)`` (verified in tests + DuckDB oracle) but
+    immune to hot-key stragglers."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(group_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.length(length_col)).alias("_chars"),
+            F.min(length_col).alias("_min_text"),
+            F.max(length_col).alias("_max_text"),
+        )
+    )
+    return (
+        partial.groupBy(group_col)
+        .agg(
+            F.sum("_n").alias("n_turns"),
+            F.sum("_chars").alias("total_chars"),
+            F.min("_min_text").alias("min_text"),
+            F.max("_max_text").alias("max_text"),
+        )
+    )
+
+
+def conv_stats_direct(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    length_col: str = "text",
+) -> DataFrame:
+    """Single-phase reference aggregation (for equivalence checks)."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length(length_col)).alias("total_chars"),
+        F.min(length_col).alias("min_text"),
+        F.max(length_col).alias("max_text"),
+    )
