@@ -55,14 +55,30 @@ _UNFORMATTED_STRUCTURE_RE = (
 )
 
 
+# P6 unsupported-payload sniff: NUL bytes or mostly control characters
+# mean the turn carries non-text bytes (the lift of the reference's
+# ".pdf suffix else UnsupportedFileError" check, parser.py:157-161).
+_BINARY_CTRL_RE = r"[\x00-\x08\x0b\x0e-\x1f]"
+
+
 def detect_payload_kind(text: pd.Series) -> pd.Series:
-    """'pdf_text' | 'html' | 'plain' — the lift of the reference's
-    suffix check (parser.py:157-161) to payload sniffing."""
+    """'pdf_text' | 'html' | 'binary' | 'plain' — the lift of the
+    reference's suffix check (parser.py:157-161) to payload sniffing."""
     t = text.fillna("")
     is_pdf = t.str.startswith("%PDF-")
-    is_html = looks_like_html(t) & ~is_pdf
-    kind = pd.Series(np.where(is_pdf, "pdf_text", np.where(is_html, "html", "plain")),
-                     index=text.index, dtype="object")
+    n_ctrl = t.str.count(_BINARY_CTRL_RE).to_numpy(dtype="float64")
+    n_len = t.str.len().to_numpy(dtype="float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        is_binary = (n_ctrl > 0) & (
+            t.str.contains("\x00", regex=False).to_numpy()
+            | (np.where(n_len > 0, n_ctrl / n_len, 0.0) > 0.1)
+        ) & ~is_pdf.to_numpy()
+    is_html = looks_like_html(t) & ~is_pdf & ~is_binary
+    kind = pd.Series(
+        np.where(is_pdf, "pdf_text",
+                 np.where(is_binary, "binary",
+                          np.where(is_html, "html", "plain"))),
+        index=text.index, dtype="object")
     return kind
 
 

@@ -89,6 +89,21 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         analysis = _fallback_analysis(texts)
         error[:] = f"classify_failed: {e}"
 
+    # P6: non-text payloads -> 'unsupported' status, "" output, row
+    # kept (error-as-data lift of UnsupportedFileError,
+    # parser.py:157-161); strict mode raises like the reference
+    binary_mask = (analysis["payload_kind"] == "binary").to_numpy(dtype=bool)
+    if binary_mask.any():
+        if cfg.strict:
+            from ..errors import UnsupportedPayloadError
+
+            bad = pdf.index[binary_mask][0]
+            raise UnsupportedPayloadError(
+                f"non-text payload at row {bad} (binary bytes detected)"
+            )
+        analysis.loc[binary_mask, "text_detected"] = False
+        analysis.loc[binary_mask, "extracted_text"] = ""
+
     text_det = analysis["text_detected"].to_numpy(dtype=bool)
     tables = analysis["tables_detected"].to_numpy(dtype=bool)
     latex = analysis["latex_detected"].to_numpy(dtype=bool)
@@ -125,7 +140,9 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
     # ---- P1: no text -> "" with row kept (llm.py:333-334) --------
     status = pd.Series(
-        np.where(text_det, "ok", "empty"), index=pdf.index, dtype="object"
+        np.where(binary_mask, "unsupported",
+                 np.where(text_det, "ok", "empty")),
+        index=pdf.index, dtype="object",
     )
 
     # ---- P3 + T8-T12: image extraction + link append -------------
