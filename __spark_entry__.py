@@ -331,6 +331,19 @@ def _q_doc_assembly(spark, sf_dir):
     )
 
 
+def _q_event_quantiles(spark, sf_dir):
+    # exact distinct + exact percentiles per group (the large-scale
+    # profiling aggregates; approx variants exist but are engine-
+    # specific, so the oracled query uses the exact forms)
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def _q_conv_stats(spark, sf_dir):
     # north_rule skew handling: salted two-phase per-conv aggregation;
     # oracle is the plain GROUP BY (results must be identical)
@@ -409,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
+        "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "pricing_summary": _q_pricing_summary,
@@ -595,6 +609,14 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS rank
               FROM s)
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "event_quantiles": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   round(quantile_cont(value, 0.5), 4) AS median_value,
+                   round(quantile_cont(value, 0.95), 4) AS p95_value,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "conv_stats": """
             SELECT source,

@@ -291,15 +291,17 @@ def extract_images(
     # contour (utils.py:48): the area ENCLOSED by the outer boundary,
     # not the component's pixel count.  Computed as the sum of per-row
     # horizontal spans (exact for convex/ring-shaped components).
+    # Direct scatter on a dense (n+1, H) grid beats sort-based
+    # np.unique for the typical (few components x page height) sizes.
     row_key = lab.astype(np.int64) * np.int64(img_h) + ys
-    uniq, inv = np.unique(row_key, return_inverse=True)
-    row_minx = np.full(len(uniq), img_w, dtype=np.int64)
-    row_maxx = np.zeros(len(uniq), dtype=np.int64)
-    np.minimum.at(row_minx, inv, xs)
-    np.maximum.at(row_maxx, inv, xs)
-    spans = (row_maxx - row_minx + 1).astype(np.float64)
-    areas = np.bincount((uniq // img_h).astype(np.int64), weights=spans,
-                        minlength=n + 1)  # index = component id (0 = bg)
+    grid = (n + 1) * img_h
+    row_minx = np.full(grid, img_w, dtype=np.int64)
+    row_maxx = np.full(grid, -1, dtype=np.int64)
+    np.minimum.at(row_minx, row_key, xs)
+    np.maximum.at(row_maxx, row_key, xs)
+    occupied = row_maxx >= 0
+    spans = np.where(occupied, row_maxx - row_minx + 1, 0).astype(np.float64)
+    areas = spans.reshape(n + 1, img_h).sum(axis=1)  # index = comp id
 
     order = np.argsort(-areas[1:], kind="stable") + 1  # area-desc (T11 sort)
 
