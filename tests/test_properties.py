@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the invariants the golden
+fixtures cannot cover exhaustively."""
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vision_parse_spark import ExtractConfig
+from vision_parse_spark.functions.classify import classify_batch
+from vision_parse_spark.functions.fences import strip_code_fences
+from vision_parse_spark.functions.markdown import format_markdown_batch
+from vision_parse_spark.operators.pipeline import extract_pandas
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_fence_strip_equals_reference_regex(s):
+    """T6 must be byte-identical to the reference's re.sub
+    (llm.py:444-449) on arbitrary input."""
+    ours = strip_code_fences(pd.Series([s])).iloc[0]
+    ref = re.sub(r"```(?:markdown)?\n(.*?)\n```", r"\1", s, flags=re.DOTALL)
+    assert ours == ref
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_pipeline_never_drops_rows(texts):
+    """P1 ethos: the extraction stage emits exactly one output row per
+    input row for ANY payload."""
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * len(texts),
+         "turn_idx": list(range(len(texts))),
+         "text": texts}
+    )
+    out = extract_pandas(pdf, ExtractConfig(image_mode="url"))
+    assert len(out) == len(texts)
+    assert list(out.turn_idx) == list(range(len(texts)))
+    assert out.markdown.notna().all()
+
+
+@given(TEXTS)
+@settings(max_examples=100, deadline=None)
+def test_classifier_total_and_typed(s):
+    """Classification never fails and always emits the full struct."""
+    row = classify_batch(pd.Series([s])).iloc[0]
+    assert row.payload_kind in {"plain", "html", "pdf_text", "binary"}
+    assert isinstance(bool(row.text_detected), bool)
+    assert 0.0 <= float(row.confidence) <= 1.0
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_formatter_batch_independence(texts):
+    """Vectorization must not leak state across rows: formatting a
+    batch equals formatting each row alone."""
+    s = pd.Series(texts)
+    f = pd.Series([False] * len(texts))
+    batch = format_markdown_batch(s, f, f)
+    singles = [
+        format_markdown_batch(pd.Series([t]), pd.Series([False]),
+                              pd.Series([False])).iloc[0]
+        for t in texts
+    ]
+    assert list(batch) == singles
+
+
+@given(TEXTS)
+@settings(max_examples=100, deadline=None)
+def test_formatter_preserves_words(s):
+    """'do not change any content' (markdown_prompt.j2:7): every
+    alphanumeric word in the input survives formatting."""
+    out = format_markdown_batch(
+        pd.Series([s]), pd.Series([False]), pd.Series([False])
+    ).iloc[0]
+    from collections import Counter
+
+    in_words = Counter(re.findall(r"[A-Za-z0-9]+", s))
+    out_words = Counter(re.findall(r"[A-Za-z0-9]+", out))
+    # formatting only adds structure tokens; it never deletes words
+    assert in_words <= out_words
