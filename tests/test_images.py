@@ -100,3 +100,13 @@ def test_encode_png_roundtrip_shape():
     png = encode_png(rgb)
     raw = zlib.decompress(png[png.index(b"IDAT") + 4 : png.rindex(b"IEND") - 4])
     assert len(raw) == 2 * (1 + 3 * 3)
+
+
+def test_detection_scale_half_finds_large_region():
+    """detection_scale=0.5: 2x-decimated detection still finds big
+    regions, boxes mapped back to full resolution (even coords)."""
+    page = render_page(200, 200, seed=21)
+    full = extract_images(page, "url", 0)
+    half = extract_images(page, "url", 0, detection_scale=0.5)
+    assert len(full) == 1 and len(half) == 1
+    assert half[0]["image_url"] == "image_1_1.png"

@@ -252,6 +252,7 @@ def extract_images(
     area_ratio_min: float = 0.4,
     laplacian_var_max: float = 500.0,
     page_frac_max: float = 0.95,
+    detection_scale: float = 1.0,
 ) -> list[dict]:
     """Detect and extract image regions from one page bitmap.
 
@@ -271,16 +272,26 @@ def extract_images(
     min_w, min_h = min_dimensions
     img_h, img_w = page_image.shape[:2]
 
-    processed = prepare_for_detection(page_image)
+    # detection_scale=0.5 runs the thresholding/labeling passes on a
+    # 2x-decimated page (4x fewer pixels — the CV chain is the hot
+    # path); boxes are mapped back and P4/P5 still measured on the
+    # FULL-resolution crop.  Default 1.0 = reference-faithful.
+    if detection_scale == 0.5:
+        det_img, ds = page_image[::2, ::2], 2
+    else:
+        det_img, ds = page_image, 1
+
+    processed = prepare_for_detection(det_img)
     comp_labels, n = connected_components(processed)
     if n == 0:
         return []
 
+    det_h, det_w = det_img.shape[:2]
     ys, xs = np.nonzero(comp_labels)
     lab = comp_labels[ys, xs]
-    x0 = np.full(n + 1, img_w, dtype=np.int64)
+    x0 = np.full(n + 1, det_w, dtype=np.int64)
     x1 = np.zeros(n + 1, dtype=np.int64)
-    y0 = np.full(n + 1, img_h, dtype=np.int64)
+    y0 = np.full(n + 1, det_h, dtype=np.int64)
     y1 = np.zeros(n + 1, dtype=np.int64)
     np.minimum.at(x0, lab, xs)
     np.maximum.at(x1, lab, xs)
@@ -293,29 +304,31 @@ def extract_images(
     # horizontal spans (exact for convex/ring-shaped components).
     # Direct scatter on a dense (n+1, H) grid beats sort-based
     # np.unique for the typical (few components x page height) sizes.
-    row_key = lab.astype(np.int64) * np.int64(img_h) + ys
-    grid = (n + 1) * img_h
-    row_minx = np.full(grid, img_w, dtype=np.int64)
+    row_key = lab.astype(np.int64) * np.int64(det_h) + ys
+    grid = (n + 1) * det_h
+    row_minx = np.full(grid, det_w, dtype=np.int64)
     row_maxx = np.full(grid, -1, dtype=np.int64)
     np.minimum.at(row_minx, row_key, xs)
     np.maximum.at(row_maxx, row_key, xs)
     occupied = row_maxx >= 0
     spans = np.where(occupied, row_maxx - row_minx + 1, 0).astype(np.float64)
-    areas = spans.reshape(n + 1, img_h).sum(axis=1)  # index = comp id
+    areas = spans.reshape(n + 1, det_h).sum(axis=1)  # index = comp id
 
     order = np.argsort(-areas[1:], kind="stable") + 1  # area-desc (T11 sort)
 
     idx = 1
     out: list[dict] = []
     for comp in order:
-        cx, cy = int(x0[comp]), int(y0[comp])
-        cw, ch = int(x1[comp] - x0[comp] + 1), int(y1[comp] - y0[comp] + 1)
+        # map detection-space boxes back to full resolution
+        cx, cy = int(x0[comp]) * ds, int(y0[comp]) * ds
+        cw = int(x1[comp] - x0[comp] + 1) * ds
+        ch = int(y1[comp] - y0[comp] + 1) * ds
         # P4 size filter (utils.py:96-104)
         if cw < min_w or ch < min_h or cw > img_w * page_frac_max or ch > img_h * page_frac_max:
             continue
         region = page_image[cy : cy + ch, cx : cx + cw]
-        # P5 validity predicate (utils.py:52-57)
-        area_ratio = float(areas[comp]) / float(cw * ch)
+        # P5 validity predicate (utils.py:52-57) on the FULL-res crop
+        area_ratio = float(areas[comp]) * ds * ds / float(cw * ch)
         if not (
             float(np.std(region)) > std_min
             and mean_lo < float(np.mean(region)) < mean_hi

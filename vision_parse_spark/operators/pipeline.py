@@ -168,6 +168,7 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     area_ratio_min=cfg.region_area_ratio_min,
                     laplacian_var_max=cfg.region_laplacian_var_max,
                     page_frac_max=cfg.region_page_frac_max,
+                    detection_scale=cfg.detection_scale,
                 )
             except Exception as e:
                 if cfg.strict:
