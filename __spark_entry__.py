@@ -274,6 +274,33 @@ def _q_minhash_dedup(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_minhash_signature(spark, sf_dir):
+    # DuckDB-checkable MinHash: md5-based shingle hashes (portable
+    # across engines, unlike xxhash64/pandas-hash) with 4 affine
+    # permutations over the 2^32 prime field -- the oracle twin of the
+    # production signature in operators/dedup.py
+    from vision_parse_spark.operators.dedup import with_shingles
+
+    P = 4294967311
+    A = [1014583970, 671191146, 734632613, 963375983]
+    B = [3331544683, 967257519, 1289204381, 3751883492]
+    sh = with_shingles(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text", 3
+    )
+    h = F.expr(
+        f"transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
+        f" as bigint) % {P})"
+    )
+    out = sh.withColumn("_h", h)
+    cols = [
+        F.array_min(
+            F.expr(f"transform(_h, x -> (x * {A[k]}L + {B[k]}L) % {P}L)")
+        ).alias(f"perm{k}_min")
+        for k in range(4)
+    ]
+    return out.select("doc_id", *cols)
+
+
 def _q_simhash(spark, sf_dir):
     # non-SQL (pandas-hash signatures) -> rows-only check
     from vision_parse_spark.operators.dedup import simhash64
@@ -281,6 +308,32 @@ def _q_simhash(spark, sf_dir):
     _ensure_pkg(spark)
     return _t(spark, sf_dir, "documents").select(
         "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
+
+
+def _q_simhash16(spark, sf_dir):
+    # DuckDB-checkable 16-bit SimHash twin (md5 token hashes): per-bit
+    # +/-1 majority vote, packed to an int -- portable proof of the
+    # SimHash construction (the production 64-bit one uses faster
+    # non-portable hashing, hence rows-only)
+    P = 4294967311
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.withColumn(
+        "_h",
+        F.expr(
+            "transform(filter(split(lower(trim(text)), '\\\\s+'),"
+            " x -> x != ''),"
+            f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+            f" % {P})"
+        ),
+    )
+    packed = " + ".join(
+        f"(CASE WHEN aggregate(transform(_h, x -> CASE WHEN ((x >> {k}) & 1) = 1"
+        f" THEN 1 ELSE -1 END), 0, (a, v) -> a + v) > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(16)
+    )
+    return toks.select(
+        "doc_id", F.expr(packed).cast("long").alias("simhash16")
     )
 
 
@@ -416,7 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_signature": _q_minhash_signature,
         "simhash": _q_simhash,
+        "simhash16": _q_simhash16,
         "explode_pages": _q_explode_pages,
         "doc_assembly": _q_doc_assembly,
         "cosine_topk": _q_cosine_topk,
@@ -578,6 +633,50 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(list_concat(a.s, b.s)))
                          ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "simhash16": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\\s+'), x -> x != '') AS t
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_transform(t, x ->
+                       CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                       % 4294967311) AS hv
+              FROM toks)
+            SELECT doc_id, CAST((CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 0) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 1) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 2) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 3) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 4) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 5) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 6) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 7) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 128 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 8) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 256 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 9) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 512 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 10) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 11) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 12) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 13) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 14) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ((x >> 15) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash16 FROM h
+        """,
+        "minhash_signature": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(len(t) - 2),
+                                 i -> array_to_string(t[i + 1 : i + 3], ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            h AS (
+              SELECT doc_id,
+                     list_transform(s, x ->
+                       CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                       % 4294967311) AS hv
+              FROM sh)
+            SELECT doc_id,
+              list_min(list_transform(hv, x -> (x * 1014583970 + 3331544683)
+                % 4294967311)) AS perm0_min,
+              list_min(list_transform(hv, x -> (x * 671191146 + 967257519)
+                % 4294967311)) AS perm1_min,
+              list_min(list_transform(hv, x -> (x * 734632613 + 1289204381)
+                % 4294967311)) AS perm2_min,
+              list_min(list_transform(hv, x -> (x * 963375983 + 3751883492)
+                % 4294967311)) AS perm3_min
+            FROM h
         """,
         "explode_pages": """
             WITH p AS (SELECT doc_id, string_split(text, chr(12)) AS pages
