@@ -354,6 +354,22 @@ def _q_ann_lsh(spark, sf_dir):
                         n_planes=4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF coarse-quantizer ANN (rows-only: trained centroids are not
+    # SQL-expressible; correctness pinned by recall tests vs the
+    # oracled brute-force cosine_topk)
+    from vision_parse_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    _ensure_pkg(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    cents = train_ivf_centroids(e, dim, n_centroids=8)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 8), cents, k=5, nprobe=3)
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     from vision_parse_spark.operators.similarity import embedding_near_dups
 
@@ -476,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assembly": _q_doc_assembly,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,

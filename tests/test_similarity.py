@@ -70,3 +70,33 @@ def test_embedding_near_dups_threshold(spark, vectors):
     out = embedding_near_dups(vectors, dim=DIM, threshold=0.95, n_planes=6)
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert got == {(0, 1)}
+
+
+def test_ivf_topk_finds_planted_near_dup(spark, vectors):
+    from vision_parse_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(vectors, DIM, n_centroids=4, sample_size=20)
+    assert cents.shape == (4, DIM)
+    out = ivf_topk(vectors, vectors.filter(F.col("vec_id") == 0), cents,
+                   k=3, nprobe=2)
+    rows = out.orderBy("rank").collect()
+    assert rows and rows[0].neighbor_id == 1 and rows[0].cosine > 0.99
+
+
+def test_ivf_recall_vs_brute_force(spark, vectors):
+    from vision_parse_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(vectors, DIM, n_centroids=4, sample_size=20)
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(vectors, q, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(vectors, q, cents, k=3, nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # nprobe=3 of 4 cells on random vectors
