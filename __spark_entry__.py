@@ -436,6 +436,15 @@ def _q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # training-data windowing: token-bounded chunks with overlap,
+    # Catalyst sequence/slice/posexplode (no UDF, narrow Generate)
+    from vision_parse_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, max_tokens=64, overlap=8)
+
+
 def _q_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape: partial-agg friendly, tests shuffle/agg physics
     li = _t(spark, sf_dir, "lineitem")
@@ -497,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
+        "chunk_documents": _q_chunk_documents,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -741,6 +751,31 @@ def oracle_sql() -> dict[str, str]:
                    min(text) AS min_text,
                    max(text) AS max_text
             FROM documents GROUP BY source
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0)
+                              AS INT) AS n_chunks,
+                     toks
+              FROM t),
+            e AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(n_chunks),
+                       i -> struct_pack(chunk_idx := CAST(i AS INT),
+                              chunk_text := array_to_string(
+                                toks[i * 56 + 1 : i * 56 + 64], ' '))),
+                       recursive := true)
+              FROM c)
+            SELECT doc_id, chunk_idx, chunk_text,
+                   CAST(CASE WHEN length(chunk_text) = 0 THEN 0
+                        ELSE len(string_split(chunk_text, ' '))
+                        END AS INT) AS n_tokens
+            FROM e
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
