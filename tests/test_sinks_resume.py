@@ -95,3 +95,41 @@ def test_uncommitted_bucket_invisible_to_readers(spark, result_df, out_dir):
     full = spark.read.parquet(out_dir)
     assert back.count() < full.count()  # bucket 4 filtered out
     assert back.filter(F.col("bucket") == 4).count() == 0
+
+
+def test_stale_uncommitted_bucket_purged(spark, result_df, out_dir):
+    """A crashed run over DIFFERENT input leaves partial files in an
+    uncommitted bucket; the next run must not audit that stale data
+    into its manifest (dynamic overwrite alone would keep it if the
+    bucket receives no rows from the current df)."""
+    merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    # simulate: bucket 6 never committed, and its dir holds stale data
+    # from a previous run over different input
+    os.remove(os.path.join(out_dir, "_lineage", "bucket_00006.json"))
+    stale_dir = os.path.join(out_dir, "bucket=6")
+    shutil.rmtree(stale_dir)
+    stale = result_df.limit(5).withColumn(
+        "markdown", F.lit("STALE-GARBAGE")
+    ).drop("bucket") if "bucket" in result_df.columns else result_df.limit(5)
+    stale.withColumn("bucket", F.lit(6)).write.parquet(stale_dir)
+
+    # rerun with a df that sends NO rows to bucket 6 (empty filter) —
+    # the stale dir must be purged, manifest must say 0 rows
+    none_df = result_df.filter(F.lit(False))
+    summary = merge_write(none_df, out_dir, n_buckets=N_BUCKETS)
+    assert summary["written"] == [6]
+    lin = {r["partition_id"]: r["row_count"]
+           for r in read_lineage(spark, out_dir).collect()}
+    assert lin[6] == 0
+    back = read_merged(spark, out_dir)
+    assert back.filter(F.col("markdown") == "STALE-GARBAGE").count() == 0
+
+
+def test_first_write_empty_df(spark, result_df, out_dir):
+    """All-empty first write: no readable parquet under path; the
+    manifest pass must not crash and must commit 0-row buckets."""
+    summary = merge_write(result_df.filter(F.lit(False)), out_dir,
+                          n_buckets=N_BUCKETS)
+    assert summary["written"] == list(range(N_BUCKETS))
+    assert summary["rows"] == 0
+    assert completed_buckets(out_dir) == set(range(N_BUCKETS))

@@ -30,8 +30,14 @@ def conv_stats_salted(
     """Per-conversation turn count / char sum / ts span, computed with
     a salted two-phase aggregation.  Result is identical to a direct
     ``groupBy(group_col)`` (verified in tests + DuckDB oracle) but
-    immune to hot-key stragglers."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    immune to hot-key stragglers.
+
+    The salt is a DETERMINISTIC row-value hash: under task retry or
+    speculation a replayed map task must route every row to the same
+    salt bucket, or partial aggregates straddle attempts (rows dropped
+    or double-counted mid-shuffle).  ``monotonically_increasing_id()``
+    breaks that contract — it numbers rows per attempt."""
+    salt = F.pmod(F.xxhash64(F.col(length_col)), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(group_col, "_salt")

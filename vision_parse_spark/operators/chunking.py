@@ -35,9 +35,8 @@ def chunk_documents(
         F.greatest(n - F.lit(max_tokens), F.lit(0)) / F.lit(stride)
     ).cast("int")
     chunks = F.expr(
-        f"transform(sequence(0, {'{}'.format('')}n_chunks - 1), "
+        f"transform(sequence(0, _n_chunks - 1), "
         f"i -> concat_ws(' ', slice(_toks, i * {stride} + 1, {max_tokens})))"
-        .replace("n_chunks", "_n_chunks")
     )
     out = (
         df.withColumn("_toks", toks)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Sequence
 
@@ -84,6 +85,16 @@ def merge_write(
     with_bucket = df.withColumn("bucket", bucket)
     pending = with_bucket.filter(F.col("bucket").isin([int(b) for b in todo]))
 
+    # purge UNCOMMITTED bucket dirs before writing: dynamic partition
+    # overwrite only replaces partitions present in the current df, so
+    # a crashed run's partial output in a todo bucket that receives no
+    # rows this time would otherwise survive the write and get audited
+    # into the manifest as if it were this run's data.
+    for b in todo:
+        stale = os.path.join(path, f"bucket={int(b)}")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         pending.write.mode("overwrite")
@@ -92,20 +103,25 @@ def merge_write(
     )
 
     # lineage from the data actually persisted (audits the files, not
-    # the plan)
-    written = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin([int(b) for b in todo]))
-    )
-    stats = (
-        written.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("row_count"),
-            F.sum(F.length(payload_col)).alias("bytes"),
-            _row_checksum_agg(key_cols, payload_col).alias("checksum"),
+    # the plan); guard the read-back — a write where every todo bucket
+    # was empty leaves no bucket dirs (and possibly no readable path)
+    present = [int(b) for b in todo
+               if os.path.isdir(os.path.join(path, f"bucket={int(b)}"))]
+    stats = []
+    if present:
+        written = (
+            spark.read.parquet(path)
+            .filter(F.col("bucket").isin(present))
         )
-        .collect()
-    )
+        stats = (
+            written.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(F.length(payload_col)).alias("bytes"),
+                _row_checksum_agg(key_cols, payload_col).alias("checksum"),
+            )
+            .collect()
+        )
     by_bucket = {r["bucket"]: r for r in stats}
 
     os.makedirs(os.path.join(path, LINEAGE_DIR), exist_ok=True)

@@ -24,7 +24,7 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, IntegerType, StringType, StructField, StructType,
 )
 
 ASSEMBLED_SCHEMA = StructType(
@@ -35,15 +35,15 @@ ASSEMBLED_SCHEMA = StructType(
     ]
 )
 
-# state: accumulated turn indices and texts (parallel lists)
+# state: accumulated turn indices and texts (parallel ARRAY fields —
+# delimiter-joined strings would desynchronize on payloads that happen
+# to contain the delimiter byte; arrays are content-safe)
 STATE_SCHEMA = StructType(
     [
-        StructField("idxs", StringType(), False),   # csv of turn_idx
-        StructField("texts", StringType(), False),  # unit-sep joined
+        StructField("idxs", ArrayType(IntegerType()), False),
+        StructField("texts", ArrayType(StringType()), False),
     ]
 )
-
-_US = "\x1f"
 
 
 def assemble_conversations(
@@ -55,10 +55,8 @@ def assemble_conversations(
     emit the ordered assembled document on idle timeout."""
     (conv_id,) = key
     if state.hasTimedOut:
-        idxs_csv, texts_js = state.get
-        idxs = [int(x) for x in idxs_csv.split(",") if x != ""]
-        texts = texts_js.split(_US) if texts_js else []
-        ordered = [t for _, t in sorted(zip(idxs, texts))]
+        st_idxs, st_texts = state.get
+        ordered = [t for _, t in sorted(zip(list(st_idxs), list(st_texts)))]
         state.remove()
         yield pd.DataFrame(
             [{"conv_id": conv_id, "n_turns": len(ordered),
@@ -69,13 +67,13 @@ def assemble_conversations(
     idxs: list[int] = []
     texts: list[str] = []
     if state.exists:
-        idxs_csv, texts_js = state.get
-        idxs = [int(x) for x in idxs_csv.split(",") if x != ""]
-        texts = texts_js.split(_US) if texts_js else []
+        st_idxs, st_texts = state.get
+        idxs = [int(i) for i in st_idxs]
+        texts = [str(t) for t in st_texts]
     for pdf in pdfs:
         idxs.extend(int(i) for i in pdf["turn_idx"])
         texts.extend(str(t) for t in pdf["markdown"])
-    state.update((",".join(str(i) for i in idxs), _US.join(texts)))
+    state.update((idxs, texts))
     state.setTimeoutDuration(2000)  # idle ms before emission
     yield pd.DataFrame(
         {"conv_id": pd.Series(dtype="object"),
