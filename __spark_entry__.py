@@ -518,6 +518,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Flagship value oracle: committed golden parquet of per-distinct-
+    # text extraction results (markdown is a pure function of the text
+    # payload), joined to the runtime documents view on md5(text) and
+    # re-keyed with the same per-source window the Spark adapter uses
+    # (sources/readers.py:38-41).  Regenerate + review via
+    # `python tests/gen_extract_golden.py` (the lift of the reference's
+    # golden markdown assertions, tests/test_parser.py:199-202).
+    golden_path = os.path.join(_REPO, "tests", "golden",
+                               "extract_text_golden.parquet")
+    extract_join = f"""
+        SELECT d.source AS conv_id,
+               CAST(row_number() OVER (PARTITION BY d.source
+                                       ORDER BY d.doc_id) - 1 AS INT)
+                   AS turn_idx,
+               g.payload_kind, g.markdown, g.status
+        FROM documents d
+        JOIN read_parquet('{golden_path}') g ON md5(d.text) = g.text_md5
+    """
     lev_pairs = """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CASE WHEN greatest(length(a.text), length(b.text)) = 0
@@ -529,6 +547,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     """
     return {
+        "extract_markdown": extract_join,
+        "extract_stats": f"""
+            SELECT payload_kind, status, count(*) AS n_turns,
+                   CAST(sum(length(markdown)) AS BIGINT) AS md_chars
+            FROM ({extract_join})
+            GROUP BY payload_kind, status
+        """,
         "fence_strip": r"""
             SELECT doc_id,
                    regexp_replace(text, '```(?:markdown)?\n(.*?)\n```',
