@@ -94,14 +94,19 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd
         payload_kind = detect_payload_kind(t)
 
     # --- extracted_text: main-content extraction per payload kind ---
-    # pdf_text: drop the '%PDF-x.y' header line (text-layer payload)
+    # pdf_text: REAL text-layer parse (object walk, FlateDecode,
+    # BT/Tj/TJ interpretation — functions/pdf.py); payloads that carry
+    # a %PDF- header but no parseable object structure fall back to
+    # header-stripping (legacy text blobs).
     pdf_mask = (payload_kind == "pdf_text").to_numpy()
     html_mask = (payload_kind == "html").to_numpy()
 
     extracted = t.copy()
     if pdf_mask.any():
-        stripped_pdf = t[pdf_mask].str.replace(r"^%PDF-[^\n]*\n?", "", regex=True)
-        extracted = extracted.mask(pd.Series(pdf_mask, index=t.index), stripped_pdf)
+        from .pdf import extract_pdf_text_series
+
+        parsed_pdf, _parse_ok = extract_pdf_text_series(t[pdf_mask])
+        extracted = extracted.mask(pd.Series(pdf_mask, index=t.index), parsed_pdf)
     if html_mask.any():
         stripped_html = strip_html_boilerplate(t[html_mask])
         extracted = extracted.mask(pd.Series(html_mask, index=t.index), stripped_html)

@@ -248,6 +248,108 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# portable (cross-engine) MinHash LSH — md5 shingle hashes so DuckDB
+# can replay the ENTIRE pipeline (signature -> banding -> bucket join
+# -> jaccard verify -> survivor set) and hash-check the result.  The
+# pandas-hash path above stays the throughput path; this one is the
+# correctness contract for the same construction.
+# ---------------------------------------------------------------------------
+
+_PORTABLE_PERMS_A = [
+    1014583970, 671191146, 734632613, 963375983, 226985795, 1007067010,
+    921662243, 47296482, 272806461, 338641288, 645217332, 1022658562,
+    175079964, 925941178, 72520733, 533869772, 173471368, 186452917,
+    316894857, 276268739, 322916554, 752148285, 961364842, 409553234,
+    977662567, 319581567, 211470499, 167976871, 714976136, 346224596,
+    288657955, 64960918,
+]
+_PORTABLE_PERMS_B = [
+    3331544683, 967257519, 1289204381, 3751883492, 706056609, 2118807623,
+    3838793569, 2017967234, 2406218188, 3871812988, 2403916704, 543962863,
+    1587539267, 2784088971, 1282701695, 2696022654, 3531963817, 1116214171,
+    270927619, 1243344256, 2254535710, 1030381776, 2720664690, 3580541493,
+    712620989, 3840089360, 3920124744, 169456119, 2569354540, 436304292,
+    3005503556, 3864822760,
+]
+
+
+def _portable_hash_expr(shingle_col: str) -> str:
+    """md5-based 32-bit-field shingle hash — identical expression is
+    replayable in DuckDB: CAST(('0x' || substring(md5(s),1,15)) AS
+    BIGINT) % P."""
+    return (
+        f"transform({shingle_col}, s -> cast(conv(substring(md5(s), 1, 15),"
+        f" 16, 10) as bigint) % {_PRIME})"
+    )
+
+
+def with_minhash_portable(df: DataFrame, text_col: str = "text",
+                          num_perm: int = 32, shingle_n: int = 3,
+                          out_col: str = "minhash") -> DataFrame:
+    """Catalyst MinHash signature with md5 shingle hashes (portable
+    across engines, unlike xxhash64/pandas-hash).  Interpreted array
+    lambdas — contract/verification path, not the throughput path."""
+    assert num_perm <= len(_PORTABLE_PERMS_A)
+    sh = with_shingles(df, text_col, shingle_n, out_col="_sh")
+    hashed = sh.withColumn("_h", F.expr(_portable_hash_expr("_sh")))
+    mins = F.array(*[
+        F.array_min(F.expr(
+            f"transform(_h, x -> (x * {_PORTABLE_PERMS_A[k]}L"
+            f" + {_PORTABLE_PERMS_B[k]}L) % {_PRIME}L)"
+        ))
+        for k in range(num_perm)
+    ])
+    return hashed.withColumn(out_col, mins).drop("_h")
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 32, bands: int = 16, shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full LSH near-dup pair pipeline in portable expressions:
+    signature -> (band, bucket) explode -> bucket self-join -> exact
+    jaccard verify.  Same shuffle plan as ``minhash_lsh_pairs``."""
+    rows_per_band = num_perm // bands
+    sig = with_minhash_portable(df.select(id_col, text_col), text_col,
+                                num_perm, shingle_n)
+    banded = sig.select(
+        F.col(id_col), "_sh",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> concat_ws(',', slice(minhash, b * {rows_per_band} + 1,"
+            f" {rows_per_band})))"
+        )).alias("band", "bucket"),
+    ).persist()
+    banded.count()  # materialize before the self-join (both sides
+    # must read the cache, not recompute the signature lineage)
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("_sh").alias("sh_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("_sh").alias("sh_b"), "band", "bucket")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return pairs
+
+
+def minhash_dedup_portable(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", **kwargs) -> DataFrame:
+    """Survivor set of the portable LSH pipeline (same union-by-min
+    policy as ``minhash_dedup``)."""
+    pairs = minhash_lsh_pairs_portable(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit) — Arrow-vectorized pandas UDF
 # ---------------------------------------------------------------------------
 

@@ -109,6 +109,31 @@ def gen_payloads(ids: np.ndarray) -> pd.DataFrame:
     m = kind_idx == 1  # plain: 2 paragraphs -> P2 fast path
     text[m] = body[m] + ".\n\n" + body2[m] + "."
 
+    # pdf: genuine mini-PDF payloads (FlateDecode streams, xref,
+    # page tree — functions/pdf.py make_pdf_bytes), carved out of a
+    # quarter of the 'plain' rows so the rest of the kind mapping (and
+    # its goldens) stays stable.  Stored latin-1-mapped in the string
+    # column; exercises the real text-layer parser end-to-end.
+    m_pdf = m & (_mix(ids, 8) % np.uint64(4) == 0)
+    if m_pdf.any():
+        from .functions.pdf import make_pdf_bytes
+
+        sel = np.flatnonzero(m_pdf)
+        n_pages = 1 + (_mix(ids[m_pdf], 630) % np.uint64(3)).astype(np.int64)
+        t_arr = title.to_numpy()
+        b_arr = body.to_numpy()
+        b2_arr = body2.to_numpy()
+        vals = []
+        for pos, npg in zip(sel, n_pages):
+            pages = [
+                [f"{t_arr[pos]} page {p + 1}",
+                 b_arr[pos][: 60 + 7 * p],
+                 b2_arr[pos][:60]]
+                for p in range(int(npg))
+            ]
+            vals.append(make_pdf_bytes(pages).decode("latin-1"))
+        text[m_pdf] = vals
+
     m = kind_idx == 2  # headed: title + sections + bullets
     text[m] = (
         title[m] + "\n\n" + body[m] + ".\n\nDETAILS SECTION\n\n"
