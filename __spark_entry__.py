@@ -266,10 +266,15 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_dedup(spark, sf_dir):
-    # non-SQL (xxhash64 signatures) -> rows-only check
-    from vision_parse_spark.operators.dedup import minhash_dedup
+    # full LSH dedup pipeline (signature -> banding -> bucket join ->
+    # jaccard verify -> survivor set), portable md5 construction so
+    # DuckDB replays the ENTIRE pipeline and hash-checks the survivor
+    # set.  The pandas-hash signature path (operators/dedup.py
+    # minhash_dedup) is the throughput twin benchmarked in bench.py;
+    # tests assert the two constructions' survivor sets agree.
+    from vision_parse_spark.operators.dedup import minhash_dedup_portable
 
-    return minhash_dedup(
+    return minhash_dedup_portable(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     ).select("doc_id")
 
@@ -345,7 +350,9 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # non-SQL (hyperplane literals) -> rows-only check
+    # hyperplane-LSH ANN; the planes are seeded literals, so the
+    # DuckDB oracle embeds the SAME literal arrays (list_dot_product)
+    # and replays bucket assignment + bucket join + rank exactly
     from vision_parse_spark.operators.similarity import ann_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings")
@@ -527,6 +534,77 @@ def oracle_sql() -> dict[str, str]:
     # golden markdown assertions, tests/test_parser.py:199-202).
     golden_path = os.path.join(_REPO, "tests", "golden",
                                "extract_text_golden.parquet")
+
+    # ann_lsh oracle: the SAME seeded hyperplane literals the Spark
+    # operator uses (similarity.py _hyperplanes(dim=64, 4, seed=13)),
+    # embedded as list literals; bucket = sum of sign bits.
+    from vision_parse_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=13)
+    def _plane_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {_plane_lit(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+    # minhash_dedup oracle: replay the whole portable LSH pipeline
+    # (md5 shingle hashes -> 32 affine perms -> 16 bands of 2 ->
+    # bucket self-join -> exact-jaccard verify -> survivor anti-join).
+    from vision_parse_spark.operators.dedup import (
+        _PORTABLE_PERMS_A, _PORTABLE_PERMS_B, _PRIME,
+    )
+
+    sig_list = ", ".join(
+        f"list_min(list_transform(hv, x -> (x * {_PORTABLE_PERMS_A[k]}"
+        f" + {_PORTABLE_PERMS_B[k]}) % {_PRIME}))"
+        for k in range(32)
+    )
+    minhash_dedup_sql = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct(list_transform(
+                             range(len(t) - 2),
+                             i -> array_to_string(t[i + 1 : i + 3], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+          FROM toks),
+        h AS (
+          SELECT doc_id, s,
+                 list_transform(s, x ->
+                   CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                   % {_PRIME}) AS hv
+          FROM sh),
+        sig AS (SELECT doc_id, s, [{sig_list}] AS mh FROM h),
+        banded AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(16),
+                   b -> struct_pack(band := CAST(b AS INT),
+                          bucket := array_to_string(
+                            mh[b * 2 + 1 : b * 2 + 2], ',')))
+                   , recursive := true)
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.id_a
+          JOIN sh sb ON sb.doc_id = cand.id_b
+          WHERE round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                THEN len(list_intersect(sa.s, sb.s)) * 1.0
+                     / len(list_distinct(list_concat(sa.s, sb.s)))
+                ELSE 0.0 END, 6) >= 0.5),
+        losers AS (SELECT DISTINCT id_b AS doc_id FROM ver)
+        SELECT d.doc_id FROM documents d ANTI JOIN losers USING (doc_id)
+    """
     extract_join = f"""
         SELECT d.source AS conv_id,
                CAST(row_number() OVER (PARTITION BY d.source
@@ -745,6 +823,25 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, chr(10) ORDER BY doc_id) AS doc,
                    count(*) AS n_parts
             FROM documents GROUP BY source
+        """,
+        "minhash_dedup": minhash_dedup_sql,
+        "ann_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {bucket_sql} AS lsh_bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_vec, lsh_bucket
+                  FROM b WHERE vec_id < 8),
+            s AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.q_vec, c.embedding), 4)
+                         AS cosine
+              FROM b c JOIN q USING (lsh_bucket)
+              WHERE c.vec_id <> q.query_id),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv

