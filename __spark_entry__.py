@@ -430,16 +430,25 @@ def _q_conv_stats(spark, sf_dir):
 
 
 def _q_doc_fingerprint(spark, sf_dir):
-    # rolling-hash document fingerprint (pandas hashing -> rows-only)
-    from vision_parse_spark.functions.text_stats import doc_fingerprint
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def fp(texts: pd.Series) -> pd.Series:
-        return doc_fingerprint(texts)
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", fp(F.col("text")).alias("fingerprint")
+    # Rabin-Karp rolling-hash fingerprint over the normalized document
+    # (lowercase, whitespace-collapsed): fold (acc*31 + codepoint) mod
+    # the Mersenne prime 2^31-1.  Pure Catalyst (split/transform/
+    # aggregate), replayed exactly by DuckDB list_reduce — the
+    # portable contract twin of functions/text_stats.doc_fingerprint
+    # (pandas hashing, the throughput path).
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.expr(
+        "aggregate(transform(split(_norm, ''), c -> ascii(c)), 0L,"
+        " (acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+    return (
+        d.withColumn("_norm", norm)
+        .select(
+            "doc_id",
+            F.when(F.length("_norm") == 0, F.lit(0).cast("long"))
+            .otherwise(fp).alias("fingerprint"),
+        )
     )
 
 
@@ -857,6 +866,33 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS rank
               FROM s)
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "embedding_near_dups": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {bucket_sql} AS lsh_bucket
+              FROM embeddings)
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, c.embedding), 4)
+                       AS cosine
+            FROM b a JOIN b c
+              ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, c.embedding), 4)
+                  >= 0.3
+        """,
+        "doc_fingerprint": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                         AS norm
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN length(norm) = 0 THEN 0
+                        ELSE list_reduce(
+                               list_transform(string_split(norm, ''),
+                                              c -> CAST(ascii(c) AS BIGINT)),
+                               (acc, c) -> (acc * 31 + c) % 2147483647)
+                   END AS fingerprint
+            FROM n
         """,
         "event_quantiles": """
             SELECT event_type,
