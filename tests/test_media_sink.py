@@ -1,0 +1,97 @@
+"""Image artifact sink tests (sinks/media.py): byte-equal PNG round
+trip + exactly-once resume — the S3 disposition from SURVEY.md
+(reference writes region PNGs to disk, utils.py:111-117)."""
+
+import base64
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark import ExtractConfig, extract
+from vision_parse_spark.operators.images import (
+    extract_images_from_marker_text,
+)
+from vision_parse_spark.sinks.media import (
+    media_table,
+    read_media,
+    write_media,
+)
+from vision_parse_spark.synth import synth_transcripts_spark
+
+N_TURNS = 600  # enough synthetic turns to contain imaged payloads
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = synth_transcripts_spark(spark, N_TURNS, partitions=4)
+    return extract(df, ExtractConfig(image_mode="base64")).persist()
+
+
+def test_media_table_shape(spark, extracted):
+    m = media_table(extracted)
+    assert m.columns == ["conv_id", "turn_idx", "image_idx",
+                         "image_url", "png"]
+    rows = m.limit(5).collect()
+    assert rows, "synthetic corpus should contain imaged turns"
+    for r in rows:
+        assert isinstance(r["png"], (bytes, bytearray))
+        assert bytes(r["png"][:8]) == b"\x89PNG\r\n\x1a\n"  # real PNG magic
+
+
+def test_round_trip_byte_equal(spark, extracted, tmp_path):
+    """Written artifact bytes == the driver-side extraction of the
+    same turn's payload (full fidelity through explode+unbase64+
+    parquet binary and back)."""
+    path = str(tmp_path / "media")
+    write_media(extracted, path, n_buckets=4)
+    back = read_media(spark, path)
+    sample = back.orderBy("conv_id", "turn_idx", "image_idx").limit(3).collect()
+    src = extracted.select("conv_id", "turn_idx", "images")
+    for r in sample:
+        turn = src.filter(
+            (F.col("conv_id") == r["conv_id"])
+            & (F.col("turn_idx") == r["turn_idx"])
+        ).first()
+        want_b64 = turn["images"][r["image_idx"]]["base64_encoded"]
+        want = base64.b64decode(want_b64.split(",", 1)[1])
+        assert bytes(r["png"]) == want
+
+
+def test_url_mode_rows_carry_no_artifacts(spark):
+    df = synth_transcripts_spark(spark, 200, partitions=2)
+    out = extract(df, ExtractConfig(image_mode="url"))
+    assert media_table(out).count() == 0
+
+
+def test_media_resume_exactly_once(spark, extracted, tmp_path):
+    path = str(tmp_path / "media")
+    write_media(extracted, path, run_id="r1", n_buckets=4)
+    total = read_media(spark, path).count()
+    assert total > 0
+    # simulate dying before committing bucket 2
+    os.remove(os.path.join(path, "_lineage", "bucket_00002.json"))
+    summary = write_media(extracted, path, run_id="r2", n_buckets=4)
+    assert summary["written"] == [2]
+    back = read_media(spark, path)
+    assert back.count() == total
+    assert back.select("conv_id", "turn_idx", "image_idx") \
+               .distinct().count() == total
+
+
+def test_artifact_matches_direct_extraction(spark, extracted, tmp_path):
+    """End-to-end parity with the per-entity extractor: pick one imaged
+    turn, re-run extract_images_from_marker_text on its raw text, and
+    compare artifact bytes."""
+    df = synth_transcripts_spark(spark, N_TURNS, partitions=4)
+    m = media_table(extracted)
+    one = m.first()
+    raw = df.filter(
+        (F.col("conv_id") == one["conv_id"])
+        & (F.col("turn_idx") == one["turn_idx"])
+    ).first()
+    imgs = extract_images_from_marker_text(
+        raw["text"], "base64", int(one["turn_idx"]))
+    want = base64.b64decode(
+        imgs[one["image_idx"]]["base64_encoded"].split(",", 1)[1])
+    assert bytes(one["png"]) == want

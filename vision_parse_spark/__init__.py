@@ -28,10 +28,17 @@ stage (no per-row Python, no remote APIs).  Semantics preserved:
 from .config import ExtractConfig
 from .schema import TRANSCRIPT_SCHEMA, OUTPUT_SCHEMA, ANALYSIS_SCHEMA
 from .operators.pipeline import extract, extract_pandas
+from .functions.pdf import (
+    extract_pdf_pages,
+    extract_pdf_text,
+    make_pdf_bytes,
+)
+from .sinks.media import media_table, read_media, write_media
+from .sinks.merge import merge_write, read_merged, verify_lineage
 from .synth import synth_transcripts_pdf, synth_transcripts_spark
 from .session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ExtractConfig",
@@ -40,6 +47,15 @@ __all__ = [
     "ANALYSIS_SCHEMA",
     "extract",
     "extract_pandas",
+    "extract_pdf_pages",
+    "extract_pdf_text",
+    "make_pdf_bytes",
+    "media_table",
+    "read_media",
+    "write_media",
+    "merge_write",
+    "read_merged",
+    "verify_lineage",
     "synth_transcripts_pdf",
     "synth_transcripts_spark",
     "get_spark",
