@@ -1,0 +1,115 @@
+"""Physical-plan shape regression tests — the would-this-survive-100x
+properties asserted in CI, not just in the BENCH/PLANS.md audit doc:
+
+* extraction is narrow (zero Exchange): parallelism = input splits;
+* filters/pruning reach the parquet scan;
+* dimension joins broadcast (no fact-side shuffle);
+* salted aggregation has exactly its two hash Exchanges;
+* bucketed LSH paths never degenerate into cartesian products.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark import ExtractConfig, extract
+from vision_parse_spark.operators.aggregate import conv_stats_salted
+from vision_parse_spark.operators.chunking import chunk_documents
+from vision_parse_spark.operators.similarity import embedding_near_dups
+from vision_parse_spark.synth import synth_transcripts_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    """Count SHUFFLE exchanges (broadcast exchanges don't move the
+    fact side and don't count)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_extract_stage_is_narrow(spark, tmp_path_factory):
+    """The flagship stage must stay shuffle-free: scan -> (projection)
+    -> MapInPandas.  An Exchange creeping in here turns a
+    linearly-scaling stage into a shuffle bottleneck at 10^12 turns."""
+    path = str(tmp_path_factory.mktemp("plan") / "t.parquet")
+    synth_transcripts_spark(spark, 500, partitions=4) \
+        .write.mode("overwrite").parquet(path)
+    out = extract(spark.read.parquet(path), ExtractConfig(image_mode="url"))
+    p = plan_of(out)
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_extract_prunes_input_columns(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "t.parquet")
+    synth_transcripts_spark(spark, 200, partitions=2) \
+        .withColumn("payload_blob", F.repeat(F.lit("x"), 64)) \
+        .write.mode("overwrite").parquet(path)
+    out = extract(spark.read.parquet(path), ExtractConfig())
+    p = plan_of(out)
+    # the extra fat column must not be read from parquet
+    assert "payload_blob" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_filter_pushdown_and_column_pruning(docs):
+    pushed = (
+        docs.filter(F.col("lang") == "en")
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", "text")
+    )
+    p = plan_of(pushed)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(lang)" in p or "EqualTo(lang,en)" in p
+    read_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    joined = (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = plan_of(joined)
+    assert "BroadcastHashJoin" in p
+    # the only shuffle is the final aggregation's, never the fact scan
+    assert n_shuffles(p) == 1
+
+
+def test_salted_agg_exactly_two_exchanges(docs):
+    p = plan_of(conv_stats_salted(docs, group_col="source",
+                                  length_col="text"))
+    assert n_shuffles(p) == 2
+    # deterministic salt: replay-stable under task retry (ADVICE r1)
+    assert "monotonically_increasing_id" not in p
+
+
+def test_chunking_is_narrow(docs):
+    p = plan_of(chunk_documents(docs.select("doc_id", "text")))
+    assert "Exchange" not in p
+    assert "Generate" in p  # posexplode, not a shuffle
+
+
+def test_lsh_near_dup_join_is_not_cartesian(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
