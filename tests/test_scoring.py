@@ -80,3 +80,21 @@ def test_explode_pages(spark):
         (1, 0, "page one"), (1, 1, "two here"), (1, 2, "three"),
         (2, 0, "single page"),
     ]
+
+
+def test_report_writer_multi_run(tmp_path):
+    import json
+
+    from vision_parse_spark.benchmarks.report import load_runs, render_report
+
+    a = tmp_path / "r1.json"
+    b = tmp_path / "r2.json"
+    a.write_text(json.dumps({"value": 10.0, "sf": "0.1", "cpus": 32,
+                             "extract_turns_per_sec": 10000,
+                             "queries": {"q1": 5.0, "q2": 5.0}}))
+    b.write_text(json.dumps({"value": 8.0, "sf": "0.1", "cpus": 32,
+                             "extract_turns_per_sec": 12500,
+                             "queries": {"q1": 4.0, "q2": 4.0}}))
+    md = render_report(load_runs([str(a), str(b)]))
+    assert "| q1 | 5.000 | 4.000 | 0.80x |" in md
+    assert "# Benchmark Results" in md

@@ -81,7 +81,15 @@ def accuracy_score(generated: str, truth: str) -> float:
 
 def bleu_udf_factory():
     """Arrow-batched pandas UDF: BLEU of (generated, truth) column
-    pairs for corpus-scale scoring."""
+    pairs for corpus-scale scoring.
+
+    Cost note (deliberate): BLEU builds per-document n-gram Counters,
+    so the inner loop is per-row even inside the Arrow batch — the
+    same cost class as the reference's driver-side scoring loop
+    (benchmarks/scoring.py:31-50 there).  This runs in the offline
+    scoring harness only, never in the extraction hot path; the win
+    over the reference is distribution across executors, not
+    per-pair vectorization."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType
 

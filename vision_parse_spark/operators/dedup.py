@@ -172,22 +172,27 @@ def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      rebalance: bool = True) -> DataFrame:
     """Near-duplicate pairs via banded LSH over MinHash signatures.
 
     shuffle plan: explode to (band, bucket_hash) -> self-join on the
     bucket (only collisions compared) -> dedupe pairs -> verify with
     exact shingle jaccard >= threshold.  Returns (id_a, id_b, jaccard)
-    with id_a < id_b."""
+    with id_a < id_b.
+
+    ``rebalance=True`` (default) repartitions to the session's default
+    parallelism before the signature UDF: small sources often arrive
+    as one file -> one partition, which would serialize the UDF.  At
+    cluster scale the scan already yields many splits — pass
+    ``rebalance=False`` to skip the extra shuffle (checking the actual
+    partition count would force an RDD conversion on the driver, so
+    the choice is an explicit flag instead)."""
     rows_per_band = num_perm // bands
     mh_udf = make_minhash_udf(num_perm, shingle_n)
     src = df.select(id_col, text_col)
-    # small sources often arrive as one file -> one partition, which
-    # would serialize the signature UDF; rebalance up to the cluster's
-    # parallelism (no-op shuffle avoidance when already parallel)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < max(par // 2, 2):
-        src = src.repartition(par)
+    if rebalance:
+        src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # id-only banded frame, persisted: it feeds BOTH sides of the
     # self-join — without materialization the signature UDF lineage
     # would be recomputed per join side and again per downstream stage
