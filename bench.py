@@ -69,11 +69,11 @@ BENCH_OVERRIDES = {"minhash_dedup": _q_minhash_dedup_fast}
 def _input_parquet(spark, n_turns: int) -> str:
     """Deterministic bench input, generated distributed and cached on
     disk so every run (and both scaling arms) reads identical files."""
-    path = f"/tmp/vps_bench_input_{n_turns}"
+    from vision_parse_spark.synth import SYNTH_VERSION, synth_transcripts_spark
+
+    path = f"/tmp/vps_bench_input_v{SYNTH_VERSION}_{n_turns}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        from vision_parse_spark.synth import synth_transcripts_spark
-
         synth_transcripts_spark(spark, n_turns, partitions=max(CPUS, 16)) \
             .write.mode("overwrite").parquet(path)
     return path

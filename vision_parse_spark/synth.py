@@ -25,6 +25,11 @@ import pandas as pd
 
 SEED = 42
 
+# bump when generated content changes (cache-busts bench input dirs
+# under /tmp so scaling/bench arms never read a previous version's
+# payload mix)
+SYNTH_VERSION = 2
+
 # Zipf-ish conversation-length pattern, repeated periodically.  One
 # 96-turn conversation per 32 -> long-conv skew without driver state.
 CONV_LEN_PATTERN = np.array(
