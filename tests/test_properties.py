@@ -84,3 +84,47 @@ def test_formatter_preserves_words(s):
     out_words = Counter(re.findall(r"[A-Za-z0-9]+", out))
     # formatting only adds structure tokens; it never deletes words
     assert in_words <= out_words
+
+
+# --- PDF text-layer codec properties (functions/pdf.py) ---------------
+
+# printable latin-1 text lines (PDF literal strings carry any byte;
+# the writer escapes specials, the parser must undo them exactly)
+PDF_LINE = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           blacklist_characters="\x7f"),
+    min_size=0, max_size=80,
+)
+
+
+@given(st.lists(st.lists(PDF_LINE, min_size=1, max_size=6),
+                min_size=1, max_size=4),
+       st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_pdf_writer_parser_round_trip(pages, compress):
+    """make_pdf_bytes -> extract_pdf_pages is the identity on line
+    content (modulo the parser's trailing-space strip per line) for
+    arbitrary latin-1 page text, compressed or raw."""
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_pages,
+        make_pdf_bytes,
+    )
+
+    got = extract_pdf_pages(make_pdf_bytes(pages, compress=compress))
+    want = ["\n".join(line.rstrip() for line in p).strip("\n")
+            for p in pages]
+    assert got == want
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_pdf_series_total_on_garbage(data):
+    """extract_pdf_text_series never raises: arbitrary bytes behind a
+    %PDF- header fall back to the header-strip path (error-as-data
+    ethos — a corrupt payload must not kill the batch)."""
+    from vision_parse_spark.functions.pdf import extract_pdf_text_series
+
+    payload = ("%PDF-1.4\n" + data.decode("latin-1")
+               if data else "%PDF-")
+    out, ok = extract_pdf_text_series(pd.Series([payload]))
+    assert len(out) == 1 and isinstance(out.iloc[0], str)
