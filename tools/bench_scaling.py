@@ -96,7 +96,31 @@ def gen_input(n_turns: int) -> str:
     return out.stdout.strip().splitlines()[-1]
 
 
+def wait_quiet(max_load: float, timeout_s: int = 1800,
+               settle_s: int = 20) -> float:
+    """Block until the 1-min loadavg stays under ``max_load`` (shared
+    box: launching an arm into a neighbor's burst measures the
+    neighbor, not the engine; also lets our own previous arm's load
+    decay so interleaved arms don't contaminate each other)."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load <= max_load:
+            time.sleep(settle_s)
+            load2 = float(open("/proc/loadavg").read().split()[0])
+            if load2 <= max_load:
+                return load2
+        else:
+            time.sleep(15)
+    return float(open("/proc/loadavg").read().split()[0])
+
+
 def run_arm(cpus: int, inp: str) -> dict:
+    quiet = os.environ.get("VPS_QUIET_LOAD")
+    if quiet:
+        wait_quiet(float(quiet))
     env = dict(os.environ, VPS_REPO=REPO, VPS_CPUS=str(cpus), VPS_INPUT=inp)
     out = subprocess.run([sys.executable, "-c", ARM], env=env, check=True,
                          capture_output=True, text=True)
