@@ -133,3 +133,28 @@ def test_first_write_empty_df(spark, result_df, out_dir):
     assert summary["written"] == list(range(N_BUCKETS))
     assert summary["rows"] == 0
     assert completed_buckets(out_dir) == set(range(N_BUCKETS))
+
+
+def test_submit_job_entry_end_to_end(spark, tmp_path):
+    """tools/run_extract_job.py (the spark-submit entry) composes
+    read -> extract -> merge_write -> verify_lineage; drive it in
+    local mode against synth input."""
+    import sys
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    synth_transcripts_spark(spark, 300, partitions=2) \
+        .write.mode("overwrite").parquet(inp)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import run_extract_job
+
+    old_argv = sys.argv
+    try:
+        sys.argv = ["run_extract_job.py", inp, outp, "4"]
+        run_extract_job.main()  # asserts verify_lineage internally
+    finally:
+        sys.argv = old_argv
+    back = read_merged(spark, outp)
+    assert back.count() == 300
