@@ -316,6 +316,16 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _q_simhash64_portable(spark, sf_dir):
+    # 64-bit SimHash with md5-derived token hashes (two independent
+    # 32-bit fields from the md5 hex halves), packed hi/lo so both
+    # engines stay in ANSI-safe BIGINT range — the full-width portable
+    # twin of the production pandas-hash simhash64 (rows-only)
+    from vision_parse_spark.operators.dedup import simhash64_portable_cols
+
+    return simhash64_portable_cols(_t(spark, sf_dir, "documents"))
+
+
 def _q_simhash16(spark, sf_dir):
     # DuckDB-checkable 16-bit SimHash twin (md5 token hashes): per-bit
     # +/-1 majority vote, packed to an int -- portable proof of the
@@ -513,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash_signature,
         "simhash": _q_simhash,
         "simhash16": _q_simhash16,
+        "simhash64_portable": _q_simhash64_portable,
         "explode_pages": _q_explode_pages,
         "doc_assembly": _q_doc_assembly,
         "cosine_topk": _q_cosine_topk,
@@ -623,6 +634,38 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN read_parquet('{golden_path}') g ON md5(d.text) = g.text_md5
     """
+    # simhash64_portable oracle: same construction as the Spark twin —
+    # md5 hex halves -> two 32-bit token-hash streams -> per-bit ±1
+    # majority -> two packed 32-bit halves.  Generated per bit.
+    def _sim_pack(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform({col}, x -> CASE WHEN"
+            f" ((x >> {k}) & 1) = 1 THEN 1 ELSE -1 END)) > 0"
+            f" THEN {1 << k} ELSE 0 END)"
+            for k in range(32)
+        )
+
+    simhash64_sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != '') AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(t, x ->
+                   CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                   % {_PRIME}) AS hlo,
+                 list_transform(t, x ->
+                   CAST(('0x' || substring(md5(x), 17, 15)) AS BIGINT)
+                   % {_PRIME}) AS hhi
+          FROM toks)
+        SELECT doc_id,
+               CAST({_sim_pack('hlo')} AS BIGINT) AS simhash_lo,
+               CAST({_sim_pack('hhi')} AS BIGINT) AS simhash_hi
+        FROM h
+    """
+
     lev_pairs = """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CASE WHEN greatest(length(a.text), length(b.text)) = 0
@@ -833,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_parts
             FROM documents GROUP BY source
         """,
+        "simhash64_portable": simhash64_sql,
         "minhash_dedup": minhash_dedup_sql,
         "ann_lsh": f"""
             WITH b AS (

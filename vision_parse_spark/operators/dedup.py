@@ -382,6 +382,44 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64), index=texts.index)
 
 
+def simhash64_portable_cols(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Portable 64-bit SimHash twin: md5-derived token hashes (two
+    independent 32-bit fields from the md5 hex halves), per-bit ±1
+    majority vote, packed into two 32-bit halves (hi/lo) so the packed
+    values stay ANSI-BIGINT-safe in both engines.  The production
+    ``simhash64`` (pandas hashing, single shuffle-free UDF) is the
+    throughput path; THIS construction is replayable in DuckDB and
+    hash-checked by the driver."""
+    toks = (
+        "filter(split(lower(trim({t})), '\\\\s+'), x -> x != '')"
+        .format(t=text_col)
+    )
+    h_lo = (f"transform({toks}, s -> cast(conv(substring(md5(s), 1, 15),"
+            f" 16, 10) as bigint) % {_PRIME})")
+    h_hi = (f"transform({toks}, s -> cast(conv(substring(md5(s), 17, 15),"
+            f" 16, 10) as bigint) % {_PRIME})")
+
+    def packed(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN aggregate(transform({col}, x -> CASE WHEN"
+            f" ((x >> {k}) & 1) = 1 THEN 1 ELSE -1 END), 0,"
+            f" (a, v) -> a + v) > 0 THEN {1 << k}L ELSE 0L END)"
+            for k in range(32)
+        )
+
+    return (
+        df.select(id_col, text_col)
+        .withColumn("_hlo", F.expr(h_lo))
+        .withColumn("_hhi", F.expr(h_hi))
+        .select(
+            id_col,
+            F.expr(packed("_hlo")).cast("long").alias("simhash_lo"),
+            F.expr(packed("_hhi")).cast("long").alias("simhash_hi"),
+        )
+    )
+
+
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       max_hamming: int = 3) -> DataFrame:
