@@ -96,7 +96,7 @@ def gen_input(n_turns: int) -> str:
     return out.stdout.strip().splitlines()[-1]
 
 
-def wait_quiet(max_load: float, timeout_s: int = 1800,
+def wait_quiet(max_load: float, timeout_s: int | None = None,
                settle_s: int = 20) -> float:
     """Block until the 1-min loadavg stays under ``max_load`` (shared
     box: launching an arm into a neighbor's burst measures the
@@ -104,6 +104,8 @@ def wait_quiet(max_load: float, timeout_s: int = 1800,
     decay so interleaved arms don't contaminate each other)."""
     import time
 
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("VPS_QUIET_TIMEOUT", "1800"))
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         load = float(open("/proc/loadavg").read().split()[0])
