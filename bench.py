@@ -29,8 +29,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_TURNS = int(os.environ.get("VPS_BENCH_TURNS", "100000"))
-REPEATS = int(os.environ.get("VPS_BENCH_REPEATS", "2"))  # best-of (the
-# box carries fluctuating neighbor load; single runs vary up to 3x)
+REPEATS = int(os.environ.get("VPS_BENCH_REPEATS", "3"))  # best-of (the
+# box carries BURSTY neighbor load — observed 1-min loadavg 0.5 -> 700
+# within minutes; three repeats give each query a fair shot at landing
+# in a quiet window)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
