@@ -86,29 +86,42 @@ def _gaussian_kernel1d(ksize: int) -> np.ndarray:
     return k / k.sum()
 
 
-def _sep_convolve(img: np.ndarray, k: np.ndarray) -> np.ndarray:
-    """Separable 2-D convolution with reflect-101 borders (cv2
-    default).  float32 accumulation with in-place adds — this runs per
-    detected image entity inside the hot mapInPandas stage."""
-    r = len(k) // 2
-    h, w = img.shape
-    kf = k.astype(np.float32)
-    p = np.pad(img.astype(np.float32, copy=False), ((r, r), (0, 0)),
-               mode="reflect")
-    out = kf[0] * p[0:h]
+def _conv_axis0(img: np.ndarray, kf: np.ndarray) -> np.ndarray:
+    """1-D convolution along axis 0 with reflect-101 border, operating
+    on contiguous row slices with a reused scratch buffer (no
+    per-term temporaries)."""
+    r = len(kf) // 2
+    h = img.shape[0]
+    p = np.pad(img, ((r, r), (0, 0)), mode="reflect")
+    out = p[0:h] * kf[0]
+    tmp = np.empty_like(out)
     for i in range(1, len(kf)):
-        out += kf[i] * p[i : i + h]
-    p = np.pad(out, ((0, 0), (r, r)), mode="reflect")
-    out = kf[0] * p[:, 0:w]
-    for i in range(1, len(kf)):
-        out += kf[i] * p[:, i : i + w]
+        np.multiply(p[i : i + h], kf[i], out=tmp)
+        out += tmp
     return out
 
 
+def _sep_convolve(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2-D convolution with reflect-101 borders (cv2
+    default).  Both passes run along axis 0 (contiguous slices) with a
+    transpose between — strided column slices cost more than the two
+    transposed copies at the typical page sizes.  Runs per detected
+    image entity inside the hot mapInPandas stage."""
+    kf = k.astype(np.float32)
+    rows = _conv_axis0(img.astype(np.float32, copy=False), kf)
+    return np.ascontiguousarray(
+        _conv_axis0(np.ascontiguousarray(rows.T), kf).T
+    )
+
+
+_GRAY_W = np.array([0.114, 0.587, 0.299], dtype=np.float32)  # B, G, R
+
+
 def bgr_to_gray(img: np.ndarray) -> np.ndarray:
-    """cv2.COLOR_BGR2GRAY weights (utils.py:27), float32."""
+    """cv2.COLOR_BGR2GRAY weights (utils.py:27), float32.  One BLAS
+    matvec over the channel axis instead of three scaled adds."""
     f = img.astype(np.float32, copy=False)
-    return 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
+    return f @ _GRAY_W
 
 
 def prepare_for_detection(img: np.ndarray) -> np.ndarray:
@@ -158,10 +171,10 @@ def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
     padded = np.zeros((h, w + 1), dtype=bool)
     padded[:, :w] = b
     flat = padded.ravel()
-    starts = flat & ~np.roll(flat, 1)
-    starts[0] = flat[0]
-    run_id = np.cumsum(starts)  # 1-based run ids on foreground
-    labels = np.where(flat, run_id, 0).reshape(h, w + 1)[:, :w]
+    starts = flat.copy()
+    starts[1:] &= ~flat[:-1]
+    run_id = np.cumsum(starts, dtype=np.int32)  # 1-based ids on fg
+    labels = np.where(flat, run_id, np.int32(0)).reshape(h, w + 1)[:, :w]
 
     n_runs = int(run_id[-1])
     if n_runs == 0:
@@ -177,8 +190,14 @@ def connected_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
 
     overlap = b[1:] & b[:-1]
     ys, xs = np.nonzero(overlap)
-    pairs = np.unique(
-        np.stack([labels[ys + 1, xs], labels[ys, xs]], axis=1), axis=0
+    # dedupe on a single int64 key: one flat sort instead of the
+    # lexicographic 2-column row sort (the dominant cost on dense
+    # thresholded pages)
+    keys = labels[ys + 1, xs].astype(np.int64) * np.int64(n_runs + 1) \
+        + labels[ys, xs]
+    uniq_keys = np.unique(keys)
+    pairs = np.stack(
+        [uniq_keys // (n_runs + 1), uniq_keys % (n_runs + 1)], axis=1
     )
     for a, c in pairs:
         ra, rc = find(int(a)), find(int(c))
