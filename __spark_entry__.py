@@ -388,11 +388,16 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
+    # hash-compares the PAIR SET (membership decided on the unrounded
+    # cosine in both engines); a rounded float column in the compare
+    # flips on 10^-k boundaries when the two engines' float folds
+    # differ by an ulp — seen once at sf0.1
     from vision_parse_spark.operators.similarity import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4)
+    return embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4) \
+        .select("id_a", "id_b")
 
 
 def _q_explode_pages(spark, sf_dir):
@@ -915,13 +920,10 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
               SELECT vec_id, embedding, {bucket_sql} AS lsh_bucket
               FROM embeddings)
-            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, c.embedding), 4)
-                       AS cosine
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
             FROM b a JOIN b c
               ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, c.embedding), 4)
-                  >= 0.3
+            WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.3
         """,
         "doc_fingerprint": r"""
             WITH n AS (

@@ -152,7 +152,15 @@ def embedding_near_dups(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
-    verify (cosine >= threshold), id_a < id_b."""
+    verify (cosine >= threshold), id_a < id_b.
+
+    Membership is decided on the UNROUNDED cosine: deciding on a
+    value rounded to k decimals makes the pair set flip whenever two
+    engines' float folds land on opposite sides of a 10^-k boundary
+    (observed once at sf0.1 against the DuckDB oracle); the raw-double
+    threshold compare only differs when the folds straddle the
+    threshold itself (~1 ulp odds).  The rounded cosine stays as a
+    diagnostic column."""
     b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
     l = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
                  "lsh_bucket")
@@ -163,10 +171,10 @@ def embedding_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine_sim_col(F.col("v_a"), F.col("v_b")), 4)
-            .alias("cosine"),
+            cosine_sim_col(F.col("v_a"), F.col("v_b")).alias("_cos"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
