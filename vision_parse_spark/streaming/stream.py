@@ -61,6 +61,60 @@ def write_stream_merged(
     return writer.start()
 
 
+def foreach_batch_merge(path: str, n_buckets: int = 16,
+                        key_cols=("conv_id", "turn_idx"),
+                        payload_col: str = "markdown"):
+    """Streaming analog of the batch MERGE sink: a ``foreachBatch``
+    function that appends each micro-batch to the bucketed layout and
+    commits a per-batch lineage manifest (row count, bytes, checksum,
+    bucket histogram).
+
+    Exactly-once under replay: Structured Streaming re-runs a failed
+    micro-batch with the SAME ``batch_id``; a batch whose manifest
+    already exists is skipped, so the append never duplicates.  (The
+    batch ``merge_write`` is whole-dataset/overwrite semantics — wrong
+    for incremental appends — hence the separate per-batch contract;
+    both share the bucketed layout and checksum recipe.)
+    """
+    import json
+    import os
+    import time
+
+    from ..sinks.merge import LINEAGE_DIR, _row_checksum_agg
+
+    stream_lineage = os.path.join(path, LINEAGE_DIR, "stream")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_path = os.path.join(stream_lineage,
+                                     f"batch_{batch_id:010d}.json")
+        if os.path.exists(manifest_path):  # replayed batch — already in
+            return
+        bucket = F.pmod(F.xxhash64(F.col(key_cols[0])),
+                        F.lit(n_buckets)).cast("int")
+        with_bucket = batch_df.withColumn("bucket", bucket).persist()
+        stats = with_bucket.groupBy().agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length(payload_col)).alias("bytes"),
+            _row_checksum_agg(key_cols, payload_col).alias("checksum"),
+        ).collect()[0]
+        with_bucket.write.mode("append").partitionBy("bucket").parquet(path)
+        with_bucket.unpersist()
+        os.makedirs(stream_lineage, exist_ok=True)
+        manifest = {
+            "batch_id": int(batch_id),
+            "row_count": int(stats["rows"] or 0),
+            "bytes": int(stats["bytes"] or 0),
+            "checksum": str(stats["checksum"]),
+            "committed_unix": int(time.time()),
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
+
+    return write_batch
+
+
 def turn_rate_per_conv(
     stream: DataFrame,
     window: str = "1 minute",
