@@ -55,8 +55,9 @@ def test_image_features_pipeline(spark):
     assert len(feats) == 21
     ok = [r for r in feats if r.status == "ok"]
     err = [r for r in feats if r.status == "error"]
-    # jpeg-stub rows (i%7==6) and raw-frames rows (i%7==5) error out
-    assert len(err) == 6 and len(ok) == 15
+    # jpeg-stub (i%7==6), raw-frames (i%7==5) and wav (i%7==4) rows are
+    # not images -> error-as-data
+    assert len(err) == 9 and len(ok) == 12
     assert all("NotImplementedError" in r.error for r in err
                if "jpeg" in (r.error or "") or True)
     r = ok[0]
@@ -72,4 +73,123 @@ def test_media_schema_stable(spark):
     assert [f.name for f in media.schema.fields] == [
         "media_id", "kind", "codec", "width", "height", "n_frames", "payload",
     ]
-    assert media.filter(F.col("codec") == "png").count() == 5
+    assert media.filter(F.col("codec") == "png").count() == 4
+    assert media.filter(F.col("codec") == "wav").count() == 1
+
+
+# --- full PNG unfiltering (decoder now handles external PNGs) ---------
+
+
+def _png_with_filters(img: "np.ndarray", filters: list) -> bytes:
+    """Forward-filter an RGB image with a chosen filter per scanline
+    and wrap it as a PNG (test-side reference encoder, PNG spec §9)."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = img[y].astype(np.int16)
+        left = np.zeros((w, ch), dtype=np.int16)
+        left[1:] = cur[:-1]
+        ul = np.zeros((w, ch), dtype=np.int16)
+        ul[1:] = prev[:-1]
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - ((left + prev) >> 1)
+        else:  # paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            out = cur - pred
+        raw.append(ft)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_all_filter_types():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 9, 3)).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _png_with_filters(img, filters)
+        out = decode_png(png)
+        assert np.array_equal(out, img), f"filters {filters}"
+
+
+def test_decode_png_grayscale_and_rgba():
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    gray = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(4))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), gray)
+
+    rgba = np.arange(4 * 3 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), rgba)
+
+
+# --- PCM WAV decode + audio features ----------------------------------
+
+
+def test_wav_round_trip():
+    from vision_parse_spark.operators.multimodal import (
+        decode_wav,
+        make_wav_bytes,
+    )
+
+    t = np.arange(800) / 8000.0
+    mono = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    x, rate = decode_wav(make_wav_bytes(mono, rate=8000))
+    assert rate == 8000 and x.shape == (800, 1)
+    assert np.allclose(x[:, 0], mono, atol=1e-4)
+    stereo = np.stack([mono, -mono], axis=1)
+    x2, _ = decode_wav(make_wav_bytes(stereo, rate=8000))
+    assert x2.shape == (800, 2)
+    assert np.allclose(x2[:, 1], -mono, atol=1e-4)
+
+
+def test_audio_features_pipeline(spark):
+    from vision_parse_spark.operators.multimodal import audio_features
+
+    media = synth_media(spark, 21, partitions=3)
+    feats = audio_features(
+        media.filter(F.col("codec") == "wav")).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert r.status == "ok"
+        assert r.sample_rate == 16000 and r.n_samples == 1600
+        assert abs(r.duration_sec - 0.1) < 1e-9
+        assert 0.3 < r.rms < 0.4  # 0.5-amplitude sine -> rms ~0.354
+        assert r.zero_cross_rate > 0.01
+
+    bad = audio_features(
+        media.filter(F.col("codec") == "jpeg")).collect()
+    assert all(r.status == "error" for r in bad)

@@ -8,15 +8,18 @@ by ``arrow.maxRecordsPerBatch`` so one batch of decoded frames fits in
 memory.
 
 Real here (stdlib/numpy only):
-* PNG encode/decode round-trip (our minimal filter-0 codec — decode of
-  arbitrary external PNGs with other filter types raises),
+* PNG decode with FULL scanline unfiltering (None/Sub/Up/Average/
+  Paeth; 8-bit gray/RGB/RGBA) — arbitrary external non-interlaced
+  8-bit PNGs decode, plus our own encoder's output,
+* PCM WAV decode (RIFF parse, 8/16-bit) + audio features (duration,
+  RMS, peak, zero-crossing rate),
 * image feature extraction (per-channel mean/std/histogram),
 * nearest-neighbor resize,
 * deterministic frame sampling over a concatenated-frames "video".
 
 STUBBED (libs not in this container, Spark plumbing still real):
-* JPEG/WebP decode, audio decode -> ``NotImplementedError`` with a
-  clear message; gate callers on ``codec`` metadata.
+* JPEG/WebP decode, compressed-audio decode -> ``NotImplementedError``
+  with a clear message; gate callers on ``codec`` metadata.
 """
 
 from __future__ import annotations
@@ -61,12 +64,23 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized across a scanline."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
 def decode_png(png: bytes) -> np.ndarray:
-    """Minimal PNG decoder for 8-bit RGB, filter type 0 scanlines (the
-    format our encoder emits).  Other color types / filters raise."""
+    """PNG decoder for 8-bit grayscale / RGB / RGBA images with FULL
+    scanline unfiltering (filter types 0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth — PNG spec §9), so arbitrary externally-produced
+    non-interlaced 8-bit PNGs decode, not just our own encoder's
+    filter-0 output.  Palette, 16-bit, and interlaced PNGs raise."""
     if png[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, w, h, depth, ctype = 8, 0, 0, 0, 0
+    pos, w, h, depth, ctype, interlace = 8, 0, 0, 0, 0, 0
     idat = b""
     while pos < len(png):
         (length,) = struct.unpack(">I", png[pos : pos + 4])
@@ -74,24 +88,63 @@ def decode_png(png: bytes) -> np.ndarray:
         data = png[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            interlace = data[12]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
         pos += 12 + length
-    if (depth, ctype) != (8, 2):
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
         raise NotImplementedError(
-            f"only 8-bit RGB PNGs supported (depth={depth} ctype={ctype})"
+            f"unsupported PNG shape (depth={depth} ctype={ctype} "
+            f"interlace={interlace}); 8-bit gray/RGB/RGBA only"
         )
     raw = zlib.decompress(idat)
-    stride = 1 + w * 3
-    img = np.empty((h, w, 3), dtype=np.uint8)
+    stride = w * channels
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    ch = channels
     for i in range(h):
-        row = raw[i * stride : (i + 1) * stride]
-        if row[0] != 0:
-            raise NotImplementedError(f"PNG filter type {row[0]} unsupported")
-        img[i] = np.frombuffer(row[1:], dtype=np.uint8).reshape(w, 3)
-    return img
+        cur = rows[i, 1:].copy()
+        ft = int(filters[i])
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: grouped running sum mod 256 along x
+            rec = np.cumsum(
+                cur.reshape(w, ch).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = cur + prev
+        elif ft == 3:  # Average — sequential in x (left neighbor dep)
+            rec = cur
+            left = np.zeros(ch, dtype=np.uint16)
+            up = prev.reshape(w, ch).astype(np.uint16)
+            r2 = rec.reshape(w, ch)
+            for x in range(w):
+                left = (r2[x] + ((left + up[x]) >> 1)).astype(np.uint8) \
+                    .astype(np.uint16)
+                r2[x] = left.astype(np.uint8)
+            rec = r2.reshape(stride).astype(np.uint8)
+        elif ft == 4:  # Paeth — sequential in x
+            rec = cur
+            r2 = rec.reshape(w, ch)
+            up = prev.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.uint8)
+            ul = np.zeros(ch, dtype=np.uint8)
+            for x in range(w):
+                pred = _paeth(left, up[x], ul)
+                r2[x] = r2[x] + pred
+                left, ul = r2[x], up[x]
+            rec = r2.reshape(stride)
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        img[i] = rec
+        prev = img[i]
+    out = img.reshape(h, w, ch)
+    return out[:, :, 0] if ch == 1 else out
 
 
 def decode_jpeg(_: bytes) -> np.ndarray:
@@ -101,10 +154,49 @@ def decode_jpeg(_: bytes) -> np.ndarray:
     )
 
 
-def decode_audio(_: bytes) -> np.ndarray:
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decoder (8-bit unsigned / 16-bit signed ints),
+    stdlib struct only.  Returns (samples float32 in [-1, 1] shaped
+    (n, channels), sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV (format={audio_format})")
+    if bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    n = len(x) // n_ch
+    return x[: n * n_ch].reshape(n, n_ch), rate
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Audio decode: PCM WAV is real (stdlib); compressed codecs need
+    libraries not present in this environment."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
     raise NotImplementedError(
-        "audio decode requires an audio library not present in this "
-        "environment; plug a decoder in here (schema/batching unchanged)"
+        "compressed-audio decode requires an audio library not present "
+        "in this environment; plug a decoder in here (schema/batching "
+        "unchanged)"
     )
 
 
@@ -153,6 +245,10 @@ def image_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
                         img = decode_jpeg(bytes(payload))
                     else:
                         raise NotImplementedError(f"codec {codec}")
+                    if img.ndim == 2:  # grayscale -> replicate channels
+                        img = np.repeat(img[:, :, None], 3, axis=2)
+                    elif img.shape[2] == 4:  # RGBA -> drop alpha
+                        img = img[:, :, :3]
                     row["height"], row["width"] = img.shape[:2]
                     flat = img.reshape(-1, 3).astype(np.float64)
                     row["mean_rgb"] = [float(x) for x in flat.mean(axis=0)]
@@ -169,6 +265,76 @@ def image_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
     return media.select("media_id", "codec", "payload").mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("duration_sec", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+        StructField("status", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode PCM-WAV payloads and emit per-clip features (duration,
+    RMS, peak, zero-crossing rate) — the audio twin of
+    ``image_features``; same error-as-data contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": int(mid), "sample_rate": None,
+                    "n_samples": None, "n_channels": None,
+                    "duration_sec": None, "rms": None, "peak": None,
+                    "zero_cross_rate": None, "status": "ok", "error": None,
+                }
+                try:
+                    x, rate = decode_audio(bytes(payload))
+                    mono = x.mean(axis=1)
+                    row["sample_rate"] = int(rate)
+                    row["n_samples"] = int(x.shape[0])
+                    row["n_channels"] = int(x.shape[1])
+                    row["duration_sec"] = float(x.shape[0] / rate)
+                    row["rms"] = float(np.sqrt((mono ** 2).mean()))
+                    row["peak"] = float(np.abs(x).max())
+                    row["zero_cross_rate"] = float(
+                        (np.diff(np.signbit(mono)) != 0).mean()
+                    )
+                except Exception as e:
+                    row["status"] = "error"
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def make_wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """16-bit PCM RIFF/WAVE writer (tests + synth): samples float in
+    [-1, 1], shape (n,) or (n, channels)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32767.0, -32768, 32767) \
+        .astype("<i2").tobytes()
+    n_ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2,
+                      n_ch * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synth_media(spark, n: int, partitions: int = 4) -> DataFrame:
@@ -190,6 +356,14 @@ def synth_media(spark, n: int, partitions: int = 4) -> DataFrame:
                     payload = rng.integers(
                         0, 255, size=(nf * h * w * 3), dtype=np.int64
                     ).astype(np.uint8).tobytes()
+                elif i % 7 == 4:
+                    kind, codec = "audio", "wav"
+                    w = h = 0
+                    nf = None
+                    t = np.arange(1600, dtype=np.float64) / 16000.0
+                    payload = make_wav_bytes(
+                        0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+                        .astype(np.float32))
                 else:
                     kind, codec = "image", "png"
                     page = render_page(110 + i % 40, 110 + i % 60, seed=i)
