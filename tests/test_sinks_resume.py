@@ -158,3 +158,117 @@ def test_submit_job_entry_end_to_end(spark, tmp_path):
         sys.argv = old_argv
     back = read_merged(spark, outp)
     assert back.count() == 300
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert — true keyed MERGE (WHEN MATCHED THEN UPDATE)
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_updates_committed_keys(spark, result_df, out_dir):
+    """write v1 -> re-extract a subset with changed markdown -> read
+    back shows the UPDATED payloads (merge_write would silently no-op)."""
+    from vision_parse_spark.sinks.merge import merge_upsert
+
+    merge_write(result_df, out_dir, run_id="v1", n_buckets=N_BUCKETS)
+    # simulate a formatter fix re-extracting a subset of turns
+    changed = (
+        result_df.filter(F.col("turn_idx") == 0)
+        .withColumn("markdown", F.concat(F.lit("FIXED:"), F.col("markdown")))
+    )
+    n_changed = changed.count()
+    assert 0 < n_changed < N_TURNS
+    summary = merge_upsert(changed, out_dir, run_id="v2",
+                           n_buckets=N_BUCKETS)
+    back = read_merged(spark, out_dir)
+    # no duplicates introduced, total row count unchanged
+    assert back.count() == N_TURNS
+    assert back.select("conv_id", "turn_idx").distinct().count() == N_TURNS
+    # every changed key shows the new payload
+    fixed = back.filter(F.col("markdown").startswith("FIXED:"))
+    assert fixed.count() == n_changed
+    assert back.filter(
+        (F.col("turn_idx") == 0)
+        & ~F.col("markdown").startswith("FIXED:")).count() == 0
+    # lineage still audits clean after the rewrite
+    assert verify_lineage(spark, out_dir)
+    assert summary["rows"] > 0 and summary["updated"]
+
+
+def test_upsert_inserts_new_keys(spark, result_df, out_dir):
+    """Keys not present in the target are inserted (WHEN NOT MATCHED)."""
+    from vision_parse_spark.sinks.merge import merge_upsert
+
+    first = result_df.filter(F.col("turn_idx") < 2)
+    rest = result_df.filter(F.col("turn_idx") >= 2)
+    n_first, n_rest = first.count(), rest.count()
+    merge_write(first, out_dir, n_buckets=N_BUCKETS)
+    merge_upsert(rest, out_dir, run_id="ins", n_buckets=N_BUCKETS)
+    back = read_merged(spark, out_dir)
+    assert back.count() == n_first + n_rest == N_TURNS
+    assert verify_lineage(spark, out_dir)
+
+
+def test_upsert_is_idempotent(spark, result_df, out_dir):
+    """Re-running the same upsert converges to the same table."""
+    from vision_parse_spark.sinks.merge import merge_upsert
+
+    merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    changed = result_df.withColumn(
+        "markdown", F.concat(F.lit("v2:"), F.col("markdown")))
+    merge_upsert(changed, out_dir, run_id="u1", n_buckets=N_BUCKETS)
+    merge_upsert(changed, out_dir, run_id="u2", n_buckets=N_BUCKETS)
+    back = read_merged(spark, out_dir)
+    assert back.count() == N_TURNS
+    assert back.filter(~F.col("markdown").startswith("v2:")).count() == 0
+    assert verify_lineage(spark, out_dir)
+
+
+def test_upsert_crash_recovery_from_staging(spark, result_df, out_dir):
+    """A staged-but-unswapped upsert (crash between staging write and
+    swap) is completed by the next call; no data loss, no dup."""
+    from vision_parse_spark.sinks.merge import (
+        STAGING_PREFIX, merge_upsert, recover_staged,
+    )
+
+    merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    changed = (
+        result_df.filter(F.col("turn_idx") == 1)
+        .withColumn("markdown", F.lit("CRASHED-UPSERT"))
+    )
+    n_changed = changed.count()
+    # simulate the crash: run ONLY the staging write, never the swap
+    bucket = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(N_BUCKETS)).cast("int")
+    incoming = changed.withColumn("bucket", bucket)
+    upd = sorted(r["bucket"] for r in
+                 incoming.select("bucket").distinct().collect())
+    existing = (spark.read.parquet(out_dir)
+                .filter(F.col("bucket").isin(upd))
+                .select(*incoming.columns))
+    survivors = existing.join(incoming.select("conv_id", "turn_idx"),
+                              on=["conv_id", "turn_idx"], how="left_anti")
+    staging = os.path.join(out_dir, STAGING_PREFIX + "crashed")
+    incoming.unionByName(survivors).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(staging)
+    with open(os.path.join(staging, "_STAGED"), "w") as f:
+        f.write("crashed")  # what merge_upsert writes post-commit
+
+    # recovery completes the swap
+    swapped = recover_staged(spark, out_dir, n_buckets=N_BUCKETS)
+    assert sorted(swapped) == [int(b) for b in upd]
+    back = read_merged(spark, out_dir)
+    assert back.count() == N_TURNS
+    assert back.filter(F.col("markdown") == "CRASHED-UPSERT").count() \
+        == n_changed
+    assert verify_lineage(spark, out_dir)
+
+
+def test_merge_sink_rejects_remote_paths(result_df):
+    """The driver-local purge/manifest IO is honest about its scope:
+    URI-scheme paths raise instead of silently no-op'ing the purge."""
+    from vision_parse_spark.sinks.merge import merge_upsert
+
+    with pytest.raises(ValueError, match="LOCAL"):
+        merge_write(result_df, "s3a://bucket/table", n_buckets=4)
+    with pytest.raises(ValueError, match="LOCAL"):
+        merge_upsert(result_df, "hdfs://nn/table", n_buckets=4)

@@ -141,3 +141,29 @@ def test_foreach_batch_merge_with_real_stream(spark, tmp_path):
     run()  # drained: checkpoint says nothing new
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == 120 and n2 == 120
+
+
+def test_foreach_batch_merge_crash_window_replay(spark, tmp_path):
+    """The dangerous replay: data write committed but the manifest was
+    never written (crash between the two).  The batch_id-scoped dynamic
+    overwrite makes the replay idempotent — rows must NOT duplicate."""
+    import os
+
+    from vision_parse_spark.streaming.stream import foreach_batch_merge
+    from vision_parse_spark.synth import synth_transcripts_spark
+    from vision_parse_spark import ExtractConfig, extract
+
+    out_dir = str(tmp_path / "merged")
+    fn = foreach_batch_merge(out_dir, n_buckets=4)
+    df = extract(synth_transcripts_spark(spark, 200, partitions=2),
+                 ExtractConfig()).select("conv_id", "turn_idx", "markdown")
+
+    fn(df, 0)
+    # simulate the crash window: manifest vanishes, data stays
+    manifest = os.path.join(out_dir, "_lineage", "stream",
+                            "batch_0000000000.json")
+    os.remove(manifest)
+    fn(df, 0)  # Structured Streaming replays the same batch_id
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 200  # overwrite-in-place, not append-dup
+    assert os.path.exists(manifest)

@@ -34,7 +34,7 @@ from .functions.pdf import (
     make_pdf_bytes,
 )
 from .sinks.media import media_table, read_media, write_media
-from .sinks.merge import merge_write, read_merged, verify_lineage
+from .sinks.merge import merge_upsert, merge_write, read_merged, verify_lineage
 from .synth import synth_transcripts_pdf, synth_transcripts_spark
 from .session import get_spark
 
@@ -53,6 +53,7 @@ __all__ = [
     "media_table",
     "read_media",
     "write_media",
+    "merge_upsert",
     "merge_write",
     "read_merged",
     "verify_lineage",

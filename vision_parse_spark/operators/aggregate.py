@@ -26,6 +26,7 @@ def conv_stats_salted(
     group_col: str = "conv_id",
     length_col: str = "text",
     salt_buckets: int = 32,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-conversation turn count / char sum / ts span, computed with
     a salted two-phase aggregation.  Result is identical to a direct
@@ -36,8 +37,19 @@ def conv_stats_salted(
     speculation a replayed map task must route every row to the same
     salt bucket, or partial aggregates straddle attempts (rows dropped
     or double-counted mid-shuffle).  ``monotonically_increasing_id()``
-    breaks that contract — it numbers rows per attempt."""
-    salt = F.pmod(F.xxhash64(F.col(length_col)), F.lit(salt_buckets))
+    breaks that contract — it numbers rows per attempt.
+
+    The hash covers a WIDE tuple, not just the payload: a hot key
+    whose rows share identical text (duplicated payloads, NULL turns —
+    xxhash64(NULL) is one constant) would collapse into a single salt
+    bucket and resurrect the straggler.  Any per-row-distinct column
+    present (turn_idx, ts) keeps identical payloads spread."""
+    if salt_cols is None:
+        salt_cols = [group_col, length_col] + [
+            c for c in ("turn_idx", "ts") if c in df.columns
+        ]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+                  F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(group_col, "_salt")

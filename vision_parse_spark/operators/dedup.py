@@ -314,7 +314,13 @@ def minhash_lsh_pairs_portable(
 ) -> DataFrame:
     """Full LSH near-dup pair pipeline in portable expressions:
     signature -> (band, bucket) explode -> bucket self-join -> exact
-    jaccard verify.  Same shuffle plan as ``minhash_lsh_pairs``."""
+    jaccard verify.  Same shuffle plan as ``minhash_lsh_pairs``.
+
+    .. warning:: correctness-contract path ONLY — the banded explode
+       carries the full ``_sh`` shingle arrays through the bucket-join
+       shuffle (~``bands``× duplication of near-document-size arrays).
+       Do not bench or ship this variant at scale; the hot path
+       (``minhash_lsh_pairs``) joins texts back by id instead."""
     rows_per_band = num_perm // bands
     sig = with_minhash_portable(df.select(id_col, text_col), text_col,
                                 num_perm, shingle_n)
@@ -342,6 +348,11 @@ def minhash_lsh_pairs_portable(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+    # pairs is small (post-threshold); truncate its lineage eagerly so
+    # the banded cache can be released NOW instead of accumulating in
+    # executor storage across a 31-query contract run.
+    pairs = pairs.localCheckpoint(eager=True)
+    banded.unpersist()
     return pairs
 
 

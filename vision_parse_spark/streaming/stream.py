@@ -70,11 +70,19 @@ def foreach_batch_merge(path: str, n_buckets: int = 16,
     bucket histogram).
 
     Exactly-once under replay: Structured Streaming re-runs a failed
-    micro-batch with the SAME ``batch_id``; a batch whose manifest
-    already exists is skipped, so the append never duplicates.  (The
-    batch ``merge_write`` is whole-dataset/overwrite semantics — wrong
-    for incremental appends — hence the separate per-batch contract;
-    both share the bucketed layout and checksum recipe.)
+    micro-batch with the SAME ``batch_id``.  Two guards compose:
+
+    * each batch's rows land in ``_batch=<id>/bucket=<b>/`` partitions
+      written with DYNAMIC partition overwrite — a replay of the same
+      ``batch_id`` overwrites exactly its own partitions, so the data
+      write itself is idempotent.  (An append here would duplicate on
+      the crash window between data commit and manifest commit.)
+    * a batch whose manifest already exists is skipped outright (the
+      cheap path for replays that follow a fully successful batch).
+
+    The batch ``merge_write`` is whole-dataset/overwrite semantics —
+    wrong for incremental appends — hence the separate per-batch
+    contract; both share the bucketed layout and checksum recipe.
     """
     import json
     import os
@@ -91,14 +99,30 @@ def foreach_batch_merge(path: str, n_buckets: int = 16,
             return
         bucket = F.pmod(F.xxhash64(F.col(key_cols[0])),
                         F.lit(n_buckets)).cast("int")
-        with_bucket = batch_df.withColumn("bucket", bucket).persist()
+        with_bucket = (
+            batch_df.withColumn("_batch", F.lit(int(batch_id)))
+            .withColumn("bucket", bucket)
+            .persist()
+        )
         stats = with_bucket.groupBy().agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.length(payload_col)).alias("bytes"),
             _row_checksum_agg(key_cols, payload_col).alias("checksum"),
         ).collect()[0]
-        with_bucket.write.mode("append").partitionBy("bucket").parquet(path)
-        with_bucket.unpersist()
+        spark = with_bucket.sparkSession
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                   "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                with_bucket.write.mode("overwrite")
+                .partitionBy("_batch", "bucket")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev_mode)
+            with_bucket.unpersist()
         os.makedirs(stream_lineage, exist_ok=True)
         manifest = {
             "batch_id": int(batch_id),
