@@ -3,10 +3,11 @@
 ``entry(spark)`` — flagship extraction pipeline on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data additions); each callable (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for the SQL-expressible
-queries (same aliases, floats rounded identically on both sides).
-Non-SQL-expressible entries (mapInPandas extraction, MinHash/SimHash
-signatures, LSH ANN) intentionally have no oracle -> rows-only check.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every query (same
+aliases, floats rounded identically on both sides).  As of round 3 all
+entries are oracled: the flagship via a committed golden parquet, the
+production SimHash via the unified md5 construction, IVF ANN via a
+data-seeded quantizer whose assignment replays exactly in SQL.
 """
 
 from __future__ import annotations
@@ -307,12 +308,17 @@ def _q_minhash_signature(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    # non-SQL (pandas-hash signatures) -> rows-only check
-    from vision_parse_spark.operators.dedup import simhash64
+    # PRODUCTION SimHash path (Arrow-vectorized pandas UDF, unique-
+    # token md5 hashing per batch) — unified onto the portable
+    # construction in round 3, so the same DuckDB SQL that proves the
+    # Catalyst twin now proves the production kernel (hash-green)
+    from vision_parse_spark.operators.dedup import simhash64_cols
 
     _ensure_pkg(spark)
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", simhash64(F.col("text")).alias("simhash")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", simhash64_cols(F.col("text")).alias("_s"))
+        .select("doc_id", "_s.simhash_lo", "_s.simhash_hi")
     )
 
 
@@ -372,19 +378,17 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    # IVF coarse-quantizer ANN (rows-only: trained centroids are not
-    # SQL-expressible; correctness pinned by recall tests vs the
-    # oracled brute-force cosine_topk)
-    from vision_parse_spark.operators.similarity import (
-        ivf_topk,
-        train_ivf_centroids,
-    )
+    # IVF cell-restricted ANN, hash-green twin: data-seeded quantizer
+    # (centroids = normalized embeddings of vec_id < 8) so assignment,
+    # probing and rank replay exactly in DuckDB.  The k-means-trained
+    # quantizer (train_ivf_centroids + ivf_topk) is the production
+    # recall path, pinned by pytest recall tests vs the oracled exact
+    # top-k; both share the identical cell-join plan shape.
+    from vision_parse_spark.operators.similarity import ivf_topk_portable
 
-    _ensure_pkg(spark)
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    cents = train_ivf_centroids(e, dim, n_centroids=8)
-    return ivf_topk(e, e.filter(F.col("vec_id") < 8), cents, k=5, nprobe=3)
+    return ivf_topk_portable(e, e.filter(F.col("vec_id") < 8),
+                             n_centroids=8, nprobe=3, k=5)
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -882,6 +886,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "simhash64_portable": simhash64_sql,
+        # the production pandas-UDF path computes the identical
+        # construction (round-3 unification), so it shares the oracle
+        "simhash": simhash64_sql,
         "minhash_dedup": minhash_dedup_sql,
         "ann_lsh": f"""
             WITH b AS (
@@ -895,6 +902,43 @@ def oracle_sql() -> dict[str, str]:
                          AS cosine
               FROM b c JOIN q USING (lsh_bucket)
               WHERE c.vec_id <> q.query_id),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "ann_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS cell, embedding AS c_vec
+              FROM embeddings WHERE vec_id < 8),
+            corpus AS (
+              SELECT neighbor_id, n_vec, cell FROM (
+                SELECT e.vec_id AS neighbor_id, e.embedding AS n_vec,
+                       c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                                         c.c_vec) DESC,
+                                  c.cell ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            probes AS (
+              SELECT query_id, q_vec, cell FROM (
+                SELECT e.vec_id AS query_id, e.embedding AS q_vec,
+                       c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding,
+                                                         c.c_vec) DESC,
+                                  c.cell ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+                WHERE e.vec_id < 8)
+              WHERE rn <= 3),
+            s AS (
+              SELECT p.query_id, co.neighbor_id,
+                     round(list_cosine_similarity(p.q_vec, co.n_vec), 4)
+                         AS cosine
+              FROM corpus co JOIN probes p USING (cell)
+              WHERE co.neighbor_id <> p.query_id),
             r AS (
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id) AS rank

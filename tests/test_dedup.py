@@ -130,3 +130,51 @@ def test_portable_and_fast_minhash_survivors_agree(spark):
     portable = {r[0] for r in
                 minhash_dedup_portable(docs).select("doc_id").collect()}
     assert fast == portable
+
+
+def test_simhash_production_equals_portable(spark, docs):
+    """Round-3 unification: the Arrow-vectorized production SimHash and
+    the Catalyst portable construction are ONE construction — same md5
+    token hashes, same ±1 majority, same hi/lo packing."""
+    from vision_parse_spark.operators.dedup import (
+        simhash64_cols,
+        simhash64_portable_cols,
+    )
+
+    prod = docs.select(
+        "doc_id", simhash64_cols(F.col("text")).alias("_s")
+    ).select("doc_id", "_s.simhash_lo", "_s.simhash_hi")
+    port = simhash64_portable_cols(docs)
+    n_diff = (
+        prod.alias("a").join(port.alias("b"), "doc_id")
+        .filter("a.simhash_lo != b.simhash_lo"
+                " or a.simhash_hi != b.simhash_hi").count()
+    )
+    assert n_diff == 0
+
+
+def test_simhash64_packs_unified_halves(spark, docs):
+    """The 64-bit bucketing value is (hi << 32) | lo of the unified
+    construction (two's-complement int64)."""
+    import numpy as np
+
+    from vision_parse_spark.operators.dedup import simhash64, simhash64_cols
+
+    rows = docs.select(
+        simhash64(F.col("text")).alias("s64"),
+        simhash64_cols(F.col("text")).alias("c"),
+    ).collect()
+    for r in rows:
+        lo, hi = r["c"]["simhash_lo"], r["c"]["simhash_hi"]
+        expect = np.int64((np.uint64(hi) << np.uint64(32)) | np.uint64(lo))
+        assert r["s64"] == expect
+
+
+def test_simhash_empty_and_null_are_zero(spark):
+    from vision_parse_spark.operators.dedup import simhash64_cols
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "   \t\n ")], ["doc_id", "text"])
+    rows = df.select(simhash64_cols(F.col("text")).alias("s")).collect()
+    assert all(r["s"]["simhash_lo"] == 0 and r["s"]["simhash_hi"] == 0
+               for r in rows)

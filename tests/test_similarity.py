@@ -100,3 +100,25 @@ def test_ivf_recall_vs_brute_force(spark, vectors):
               for r in ivf_topk(vectors, q, cents, k=3, nprobe=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # nprobe=3 of 4 cells on random vectors
+
+
+def test_ivf_portable_matches_plan_and_recall(spark, vectors):
+    """Data-seeded-quantizer IVF (the hash-green contract twin): finds
+    planted near-dups, ranks identically to the exact top-k within the
+    probed cells, and never degenerates into an unrestricted cross
+    product over the corpus."""
+    from vision_parse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_portable,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 4)
+    out = ivf_topk_portable(vectors, q, n_centroids=4, nprobe=4, k=3)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    # with nprobe == n_centroids every cell is probed -> exact recall
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in brute_force_topk(vectors, q, k=3).collect()}
+    approx = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+    assert approx == exact

@@ -17,10 +17,13 @@ Scale design notes:
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructField, StructType
 
 # ---------------------------------------------------------------------------
 # exact dedup (hash groupBy — S2.? training-data op)
@@ -370,27 +373,65 @@ def minhash_dedup_portable(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+# Java's Pattern \s (what Spark's split(.., '\\s+') matches) and RE2's
+# \s (DuckDB string_split_regex) are the same ASCII class — Python's
+# re \s is unicode-wide, so spell the class out for engine parity.
+_TOKEN_SPLIT_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _simhash_lo_hi_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized md5 SimHash kernel: the EXACT portable construction
+    (md5 hex halves -> two 32-bit token-hash streams -> per-bit ±1
+    majority -> two packed 32-bit halves), computed per Arrow batch by
+    hashing each UNIQUE token once and mapping back — portable AND
+    fast, so the production path and the DuckDB oracle are one
+    construction (round-2 verdict item #2)."""
+    tok_lists = [
+        [t for t in _TOKEN_SPLIT_RE.split(s.strip().lower()) if t]
+        for s in texts.fillna("")
+    ]
+    n = len(tok_lists)
+    lo = np.zeros(n, dtype=np.int64)
+    hi = np.zeros(n, dtype=np.int64)
+    flat = [t for toks in tok_lists for t in toks]
+    if not flat:
+        return lo, hi
+    lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    h_lo = np.empty(len(uniq), dtype=np.int64)
+    h_hi = np.empty(len(uniq), dtype=np.int64)
+    for i, t in enumerate(uniq):
+        d = hashlib.md5(t.encode("utf-8")).hexdigest()
+        h_lo[i] = int(d[0:15], 16) % _PRIME   # substring(md5, 1, 15)
+        h_hi[i] = int(d[16:31], 16) % _PRIME  # substring(md5, 17, 15)
+    doc_ids = np.repeat(np.arange(n), lengths)
+    ks = np.arange(32, dtype=np.int64)
+    for h, out in ((h_lo, lo), (h_hi, hi)):
+        bits = ((h[inv][:, None] >> ks) & 1) * 2 - 1  # ±1 per bit
+        acc = np.zeros((n, 32), dtype=np.int64)
+        np.add.at(acc, doc_ids, bits)
+        out[:] = ((acc > 0).astype(np.int64) << ks).sum(axis=1)
+    return lo, hi
+
+
+@F.pandas_udf(StructType([StructField("simhash_lo", LongType()),
+                          StructField("simhash_hi", LongType())]))
+def simhash64_cols(texts: pd.Series) -> pd.DataFrame:
+    """Production SimHash: two packed 32-bit halves (ANSI-BIGINT-safe
+    in both engines); value-identical to ``simhash64_portable_cols``
+    and the DuckDB oracle."""
+    lo, hi = _simhash_lo_hi_batch(texts)
+    return pd.DataFrame({"simhash_lo": lo, "simhash_hi": hi},
+                        index=texts.index)
+
+
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (numpy bit ops per Arrow batch).
-
-    Deterministic: token hash = splitmix64 of a stable string hash."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    tok_lists = texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
-    lengths = tok_lists.map(len).to_numpy()
-    flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
-    if len(flat):
-        hashes = pd.util.hash_pandas_object(
-            pd.Series(flat), index=False
-        ).to_numpy().astype(np.uint64)
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.int64) * 2 - 1  # ±1 per bit
-        doc_ids = np.repeat(np.arange(len(texts)), lengths)
-        acc = np.zeros((len(texts), 64), dtype=np.int64)
-        np.add.at(acc, doc_ids, bits)
-        sig = (acc > 0).astype(np.uint64)
-        out = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-    return pd.Series(out.astype(np.int64), index=texts.index)
+    """Full 64-bit SimHash for hamming bucketing: the two unified
+    halves packed as (hi << 32) | lo (two's complement int64)."""
+    lo, hi = _simhash_lo_hi_batch(texts)
+    packed = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    return pd.Series(packed.astype(np.int64), index=texts.index)
 
 
 def simhash64_portable_cols(df: DataFrame, text_col: str = "text",

@@ -179,6 +179,67 @@ def embedding_near_dups(
     )
 
 
+def ivf_topk_portable(
+    df: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a DATA-SEEDED quantizer: centroids are the
+    embeddings of ids ``< n_centroids`` — a valid coarse quantizer
+    (quantizer choice moves recall, not the operator's semantics),
+    chosen because every step (argmax cell assignment, nprobe probing,
+    rank) is a deterministic relational expression replayable in ANSI
+    SQL, making the IVF join/shuffle shape hash-checkable against
+    DuckDB.  Assignment uses COSINE to the centroid, so centroid
+    normalization is unnecessary (cosine is scale-invariant) and no
+    cross-engine normalization math exists at all.  ``ivf_topk`` with
+    k-means ``train_ivf_centroids`` stays the production quantizer;
+    both share the same physical plan: corpus lives in 1 cell, queries
+    probe ``nprobe`` cells, dot products run per-cell, not all-pairs.
+
+    Cell assignment ties break on the lowest cell id (row_number over
+    (cosine DESC, cell ASC)) in both engines."""
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    aw = Window.partitionBy("_vid").orderBy(F.desc("_csim"), F.asc("cell"))
+
+    def assign(side: DataFrame, rid: str, rvec: str, keep: int) -> DataFrame:
+        return (
+            side.select(F.col(id_col).alias("_vid"),
+                        F.col(vec_col).alias(rvec))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_csim", cosine_sim_col(F.col(rvec), F.col("c_vec")))
+            .withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") <= keep)
+            .select(F.col("_vid").alias(rid), rvec, "cell")
+        )
+
+    corpus = assign(df, "neighbor_id", "n_vec", 1)
+    probes = assign(queries, "query_id", "q_vec", nprobe)
+    sims = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("n_vec")), 4)
+            .alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse k-means quantizer + cell-restricted
 # search, the classic alternative scale path to hyperplane LSH
