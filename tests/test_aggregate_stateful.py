@@ -87,3 +87,69 @@ def test_stateful_conversation_assembly(spark, tmp_path):
         got = rows[e.conv_id]
         assert got.n_turns == e.n_turns
         assert got.document == e.document, e.conv_id
+
+
+def test_event_time_assembly_is_replay_deterministic(spark, tmp_path):
+    """EventTimeTimeout variant: out-of-order turns across micro-
+    batches assemble in turn order, emission is driven by the
+    WATERMARK (data), and two runs over the same input produce
+    identical emissions (round-2 robustness item 6)."""
+    import datetime as dt
+    import os
+
+    from vision_parse_spark.schema import TRANSCRIPT_SCHEMA
+    from vision_parse_spark.streaming.stateful import assembled_stream_event
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # batch file 1: conv A out of order, conv B opener
+    rows1 = [
+        ("A", 2, "user", "a-two", None, ts(2)),
+        ("A", 0, "user", "a-zero", None, ts(0)),
+        ("A", 1, "user", "a-one", None, ts(1)),
+        ("B", 0, "user", "b-zero", None, ts(3)),
+    ]
+    # batch file 2: much later event time -> watermark passes A's
+    # (max_ts + gap), so A must emit; B's timeout also passes
+    rows2 = [
+        ("C", 0, "user", "c-zero", None, ts(120)),
+    ]
+
+    def run(tag):
+        in_dir = str(tmp_path / f"in_{tag}")
+        os.makedirs(in_dir)
+        spark.createDataFrame(rows1, TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        spark.createDataFrame(rows2, TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .select("conv_id", "turn_idx",
+                    F.col("text").alias("markdown"), "ts")
+        )
+        name = f"assembled_evt_{tag}"
+        q = (
+            assembled_stream_event(stream, gap_ms=5000,
+                                   watermark="2 seconds")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.conv_id, r.n_turns, r.document)
+                for r in spark.sql(
+                    f"select * from {name} where conv_id is not null"
+                ).collect()}
+
+    got1 = run("r1")
+    # conv A assembled IN TURN ORDER despite out-of-order arrival
+    assert ("A", 3, "a-zero\na-one\na-two") in got1
+    # emissions are a pure function of the data: replay == original
+    got2 = run("r2")
+    assert got1 == got2

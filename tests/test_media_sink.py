@@ -95,3 +95,60 @@ def test_artifact_matches_direct_extraction(spark, extracted, tmp_path):
     want = base64.b64decode(
         imgs[one["image_idx"]]["base64_encoded"].split(",", 1)[1])
     assert bytes(one["png"]) == want
+
+
+def test_pdf_embedded_image_reaches_media_sink(spark, tmp_path):
+    """VERDICT round-2 item 5 end-to-end: a pdf payload with an
+    embedded /Image XObject emits the reference-named markdown link
+    AND a byte-equal media-sink row (decode -> region detect -> crop
+    -> PNG encode -> explode -> bucketed write -> read back)."""
+    import base64
+
+    import numpy as np
+
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.functions.pdf import make_pdf_bytes
+
+    grad = np.linspace(60, 200, 160).astype(np.uint8)
+    block = np.repeat(np.broadcast_to(grad, (120, 160))[:, :, None],
+                      3, axis=2)
+    payload = make_pdf_bytes(
+        [["pdf with picture", "body line"]], images={0: block}
+    ).decode("latin-1")
+    df = spark.createDataFrame(
+        [("c0", 0, payload)], ["conv_id", "turn_idx", "text"])
+    out = extract(df, ExtractConfig(image_mode="base64"))
+    row = out.collect()[0]
+    assert row.status == "ok"
+    assert len(row.images) == 1
+    assert row.images[0]["image_url"] == "image_1_1.png"  # pdf page 0
+    assert "![image_1_1.png](data:image/png;base64," in row.markdown
+
+    path = str(tmp_path / "media")
+    write_media(out, path, n_buckets=4)
+    back = read_media(spark, path).collect()
+    assert len(back) == 1
+    expect = base64.b64decode(
+        row.images[0]["base64_encoded"].split(",", 1)[1])
+    assert bytes(back[0].png) == expect
+
+
+def test_synth_pdf_image_rows_flow_through_pipeline(spark):
+    """The synth generator's pdf-with-image quarter produces turns
+    whose extraction emits image entries from the EMBEDDED channel."""
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.synth import synth_transcripts_spark
+
+    df = synth_transcripts_spark(spark, 3000, partitions=4)
+    pdf_img = df.filter(
+        F.col("text").startswith("%PDF-")
+        & F.col("text").contains("/Subtype /Image"))
+    n = pdf_img.count()
+    assert n > 0, "synth must emit pdf-with-image payloads"
+    out = extract(pdf_img, ExtractConfig(image_mode="url"))
+    with_imgs = out.filter(F.size("images") > 0)
+    assert with_imgs.count() == n
+    assert out.filter(~F.col("markdown").contains("![image_1_1.png]")) \
+        .count() == 0

@@ -152,3 +152,159 @@ def test_classify_routes_pdf_through_real_parser():
     assert "second page line" in r.extracted_text
     assert "%PDF" not in r.extracted_text
     assert "obj" not in r.extracted_text
+
+
+# ---------------------------------------------------------------------------
+# round-3 parser hardening: fonts, ObjStm, filters, /Length bounding
+# ---------------------------------------------------------------------------
+
+
+def _mini_pdf(objects_tail: bytes, contents_ref: int = 4) -> bytes:
+    head = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    return head + objects_tail + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+
+
+def test_tounicode_cmap_font_decodes():
+    """Subset-font hex codes decode through the /ToUnicode CMap —
+    latin-1 would produce control bytes (the reference sidesteps this
+    by rasterizing, parser.py:116-121)."""
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_pages,
+        make_pdf_bytes_cmap,
+    )
+
+    pages = [["Hello, CMap!", "fi & fl — done"], ["Zweite Seite: äöü"]]
+    got = extract_pdf_pages(make_pdf_bytes_cmap(pages))
+    assert got == ["Hello, CMap!\nfi & fl — done", "Zweite Seite: äöü"]
+
+
+def test_differences_encoding_decodes():
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    raw = b"BT /F1 12 Tf (\x41\x42\x43) Tj ET"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /Font "
+        b"<< /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(raw)).encode()
+        + b" >>\nstream\n" + raw + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding "
+        b"<< /Differences [ 65 /bullet /endash /uni2603 ] >> >>\nendobj\n")
+    assert extract_pdf_text(pdf) == "•–☃"
+
+
+def test_objstm_pdf15_layout_parses():
+    """Catalog/pages/page dicts inside a /Type /ObjStm container (the
+    xref-stream file layout) parse via object-stream expansion."""
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_pages,
+        make_pdf_bytes_objstm,
+    )
+
+    got = extract_pdf_pages(make_pdf_bytes_objstm(
+        [["ObjStm page one", "second line"], ["two"]]))
+    assert got == ["ObjStm page one\nsecond line", "two"]
+
+
+def test_asciihex_filter():
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    hx = b"BT (hexed) Tj ET".hex().encode() + b">"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(hx)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + hx
+        + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf) == "hexed"
+
+
+def test_filter_cascade_hex_then_flate():
+    import zlib
+
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    payload = zlib.compress(b"BT (cascade) Tj ET").hex().encode() + b">"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(payload)).encode()
+        + b" /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n" + payload
+        + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf) == "cascade"
+
+
+def test_indirect_length_reference():
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    raw = b"BT (indirect) Tj ET"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 6 0 R >>\nstream\n" + raw
+        + b"\nendstream\nendobj\n"
+        b"6 0 obj\n" + str(len(raw)).encode() + b"\nendobj\n")
+    assert extract_pdf_text(pdf) == "indirect"
+
+
+def test_stream_containing_endobj_does_not_split_objects():
+    """ADVICE round-2: stream bytes containing 'endobj' / 'N 0 obj'
+    must neither truncate the object nor fabricate phantom ones now
+    that extents are /Length-bounded."""
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    evil = b"BT (ok) Tj ET % endobj 9 0 obj << /Type /Page >> stream\n"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(evil)).encode()
+        + b" >>\nstream\n" + evil + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf) == "ok"
+
+
+def test_lying_length_falls_back_to_endstream_scan():
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    raw = b"BT (fallback) Tj ET"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 99999 >>\nstream\n" + raw
+        + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf) == "fallback"
+
+
+def test_extract_pdf_images_roundtrip():
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_images,
+        extract_pdf_text,
+        make_pdf_bytes,
+    )
+
+    rgb = (np.arange(40 * 30 * 3) % 251).astype(np.uint8).reshape(30, 40, 3)
+    gray = (np.arange(16 * 8) % 253).astype(np.uint8).reshape(8, 16)
+    pdf = make_pdf_bytes([["with image"], ["gray page"]],
+                         images={0: rgb, 1: gray})
+    assert extract_pdf_text(pdf) == "with image\n\ngray page"
+    ims = extract_pdf_images(pdf)
+    assert [(p, a.shape) for p, _, a in ims] == [(0, (30, 40, 3)),
+                                                 (1, (8, 16))]
+    assert np.array_equal(ims[0][2], rgb)
+    assert np.array_equal(ims[1][2], gray)
+
+
+def test_cmap_pdf_survives_extract_series():
+    """extract_pdf_text_series routes cmap/objstm payloads through the
+    structural parser (parse_ok True)."""
+    import pandas as pd
+
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_text_series,
+        make_pdf_bytes_cmap,
+        make_pdf_bytes_objstm,
+    )
+
+    payloads = pd.Series([
+        make_pdf_bytes_cmap([["cmap text"]]).decode("latin-1"),
+        make_pdf_bytes_objstm([["objstm text"]]).decode("latin-1"),
+    ])
+    out, ok = extract_pdf_text_series(payloads)
+    assert list(ok) == [True, True]
+    assert list(out) == ["cmap text", "objstm text"]

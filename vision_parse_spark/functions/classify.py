@@ -130,7 +130,13 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd
     )
 
     latex_detected = extracted.str.contains(_LATEX_RE, regex=True, na=False)
-    images_detected = has_marker
+    # markers (synthetic channel) OR embedded /Image XObjects inside a
+    # pdf payload (real channel; the full decode happens lazily in the
+    # images operator — this is the vectorized detection gate, P3)
+    images_detected = has_marker | (
+        pd.Series(pdf_mask, index=t.index)
+        & t.str.contains(r"/Subtype\s*/Image\b", regex=True, na=False)
+    )
 
     # --- confidence: "this text is already final" score --------------
     # clean-character ratio, halved when unformatted structure remains

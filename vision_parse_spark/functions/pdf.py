@@ -8,17 +8,35 @@ content-stream text operators.  This module implements that layer from
 the PDF 1.7 spec so ``%PDF-`` payloads are genuinely parsed instead of
 header-stripped:
 
-* object scan — every ``N G obj … endobj``, stream payloads split at
-  ``stream``/``endstream``;
-* page tree walk — trailer ``/Root`` -> ``/Pages`` -> ``/Kids``
-  (recursive, preserves document page order), falling back to
-  ``/Type /Page`` objects in file order when the trailer is damaged;
-* stream decode — ``/FlateDecode`` via zlib, raw otherwise;
-* content-stream interpreter — ``BT``/``ET`` blocks; ``Tj``, ``TJ``
-  (negative kerns wider than half an em emit a space), ``'`` and ``"``
-  (newline + show); ``Td``/``TD``/``T*``/``Tm`` line breaks; literal
-  strings with ``\\``-escapes and octal, hex strings, UTF-16BE BOM
-  detection.
+* object scan — every ``N G obj … endobj``; stream extents are bounded
+  by the dict's ``/Length`` (direct int or indirect ref), so stream
+  bytes that happen to contain ``endobj``/``N 0 obj`` can neither
+  truncate an object nor fabricate phantom ones (fallback when /Length
+  is absent/wrong: the first ``endstream`` whose tail is ``endobj``);
+* filter cascade — ``/FlateDecode``, ``/ASCIIHexDecode``,
+  ``/ASCII85Decode``, applied in ``/Filter`` array order;
+* object streams (PDF 1.5+) — ``/Type /ObjStm`` containers are decoded
+  and their embedded objects expanded into the object table, which is
+  how xref-stream PDFs (whose catalog/pages/fonts live inside ObjStm)
+  parse without a classic xref table;
+* page tree walk — trailer/xref-stream ``/Root`` -> ``/Pages`` ->
+  ``/Kids`` (recursive, preserves document page order, carries
+  inherited ``/Resources``), falling back to ``/Type /Page`` objects
+  in file order when the trailer is damaged;
+* font decoding — per-page ``/Font`` resources are resolved;
+  ``/ToUnicode`` CMaps (``bfchar``/``bfrange``, 1- and 2-byte
+  codespaces, Type0/Identity-H) and ``/Encoding /Differences`` arrays
+  (Adobe-Glyph-List subset + ``uniXXXX`` names) map string bytes to
+  text; simple fonts without either fall back to latin-1/UTF-16BE;
+* content-stream interpreter — ``BT``/``ET`` blocks; ``Tf`` font
+  selection; ``Tj``, ``TJ`` (negative kerns wider than half an em emit
+  a space), ``'`` and ``"`` (newline + show); ``Td``/``TD``/``T*``/
+  ``Tm`` line breaks; literal strings with ``\\``-escapes and octal,
+  hex strings;
+* embedded images — ``/XObject`` ``/Subtype /Image`` streams are
+  decoded (Flate RGB/gray/RGBA 8-bit) to numpy arrays per page so real
+  PDF payloads feed the same CV region pipeline as marker pages
+  (reference: every rendered page goes through ``utils.py:62-141``).
 
 Per-document Python cost only (one parse per pdf payload, inside an
 Arrow batch) — the same per-entity cost class as the reference's
@@ -27,13 +45,16 @@ per-page render loop; plain-text rows never enter this code.
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
+from typing import Callable, NamedTuple
 
+import numpy as np
 import pandas as pd
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b" \t\r\n\x00\f"
 _TRAILER_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
@@ -42,7 +63,25 @@ _CONTENTS_ONE_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+_TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+_NAME_IN_ARR_RE = re.compile(rb"/(\w+)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_LENGTH_INT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_INT_OBJ_RE = re.compile(rb"^\s*(\d+)\s*$")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange",
+                           re.S)
+_HEX_RE = re.compile(rb"<([0-9a-fA-F\s]*)>")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 # TJ kern threshold: text-space units/1000; anything wider than half an
 # em reads as a word gap (pdfminer uses a comparable heuristic).
@@ -61,34 +100,231 @@ class PdfParseError(ValueError):
     header-stripped text blob)."""
 
 
-def _scan_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+class _Obj(NamedTuple):
+    """One indirect object: its dictionary/body region (never contains
+    raw stream bytes) and the raw stream bytes when present."""
+    body: bytes
+    stream: bytes | None
 
 
-def _decode_stream(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
+# ---------------------------------------------------------------------------
+# object scan — /Length-bounded, sequential (ADVICE round-2 item:
+# stream bytes containing 'endobj' must not split objects)
+# ---------------------------------------------------------------------------
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n and data[i] in _WS:
+        i += 1
+    return i
+
+
+def _dict_extent(data: bytes, i: int) -> int:
+    """End offset (exclusive) of the ``<< … >>`` dict starting at
+    ``i``; nesting-aware."""
+    depth = 0
+    j = i
+    n = len(data)
+    tok = re.compile(rb"<<|>>")
+    while j < n:
+        m = tok.search(data, j)
+        if not m:
+            return n
+        depth += 1 if m.group(0) == b"<<" else -1
+        j = m.end()
+        if depth == 0:
+            return j
+    return n
+
+
+def _naive_int_objects(data: bytes) -> dict[int, int]:
+    """First pass: plain integer objects (``N 0 obj 123 endobj``) for
+    resolving indirect ``/Length`` references."""
+    out: dict[int, int] = {}
+    for m in _OBJ_HEAD_RE.finditer(data):
+        e = data.find(b"endobj", m.end(), m.end() + 48)
+        if e > 0:
+            im = _INT_OBJ_RE.match(data[m.end():e])
+            if im:
+                out[int(m.group(1))] = int(im.group(1))
+    return out
+
+
+def _find_endstream(data: bytes, start: int) -> tuple[int, int]:
+    """(stream_end, after_endstream) for the fallback path: prefer the
+    first ``endstream`` whose following non-ws bytes are ``endobj``
+    (so compressed bytes containing 'endstream' don't truncate), else
+    the first ``endstream`` at all."""
+    first = None
+    pos = start
+    while True:
+        j = data.find(b"endstream", pos)
+        if j < 0:
+            break
+        if first is None:
+            first = j
+        k = _skip_ws(data, j + len(b"endstream"))
+        if data[k:k + 6] == b"endobj":
+            return j, j + len(b"endstream")
+        pos = j + 1
+    if first is not None:
+        return first, first + len(b"endstream")
+    return len(data), len(data)
+
+
+def _scan_objects(data: bytes) -> dict[int, _Obj]:
+    """All ``N G obj`` objects with /Length-bounded stream extents."""
+    int_objs = _naive_int_objects(data)
+    objs: dict[int, _Obj] = {}
+    pos = 0
+    n = len(data)
+    while True:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        start = m.end()
+        i = _skip_ws(data, start)
+        if data[i:i + 2] == b"<<":
+            dict_end = _dict_extent(data, i)
+            body = data[start:dict_end]
+            k = _skip_ws(data, dict_end)
+            if data[k:k + 6] == b"stream":
+                s = k + 6
+                if data[s:s + 2] == b"\r\n":
+                    s += 2
+                elif s < n and data[s] in b"\n\r":
+                    s += 1
+                length = None
+                lm = _LENGTH_REF_RE.search(body)
+                if lm:
+                    length = int_objs.get(int(lm.group(1)))
+                else:
+                    lm = _LENGTH_INT_RE.search(body)
+                    if lm:
+                        length = int(lm.group(1))
+                stream_end = after = None
+                if length is not None and s + length <= n:
+                    cand = s + length
+                    tail = re.match(rb"[\r\n \t]*endstream", data[cand:cand + 32])
+                    if tail:
+                        stream_end = cand
+                        after = cand + tail.end()
+                if stream_end is None:  # absent or lying /Length
+                    stream_end, after = _find_endstream(data, s)
+                objs[num] = _Obj(body, data[s:stream_end])
+                e = data.find(b"endobj", after)
+                pos = (e + 6) if e >= 0 else after
+                continue
+            e = data.find(b"endobj", dict_end)
+            objs[num] = _Obj(body, None)
+            pos = (e + 6) if e >= 0 else dict_end
+            continue
+        e = data.find(b"endobj", start)
+        end = e if e >= 0 else n
+        objs[num] = _Obj(data[start:end], None)
+        pos = (e + 6) if e >= 0 else n
+    return objs
+
+
+# ---------------------------------------------------------------------------
+# stream filters
+# ---------------------------------------------------------------------------
+
+
+def _filters_of(body: bytes) -> list[bytes]:
+    m = _FILTER_RE.search(body)
     if not m:
-        return b""
-    raw = m.group(1)
-    if _FLATE_RE.search(body[: m.start(1)]):
-        try:
-            return zlib.decompress(raw)
-        except zlib.error:
-            # tolerate a trailing EOL captured before `endstream`
-            return zlib.decompress(raw.rstrip(b"\r\n"))
+        return []
+    spec = m.group(1)
+    if spec.startswith(b"["):
+        return [g for g in _NAME_IN_ARR_RE.findall(spec)]
+    return [spec[1:]]
+
+
+def _flate(raw: bytes) -> bytes:
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        # tolerate a trailing EOL captured before `endstream`
+        return zlib.decompress(raw.rstrip(b"\r\n"))
+
+
+def _apply_filters(body: bytes, raw: bytes) -> bytes:
+    """Apply the /Filter cascade in array order.  Unknown filters
+    (DCTDecode etc.) stop the cascade and return what's decoded so far
+    — callers that need the raw payload (image channel) handle it."""
+    for f in _filters_of(body):
+        if f == b"FlateDecode" or f == b"Fl":
+            raw = _flate(raw)
+        elif f == b"ASCIIHexDecode" or f == b"AHx":
+            hx = re.sub(rb"\s", b"", raw.split(b">", 1)[0])
+            if len(hx) % 2:
+                hx += b"0"
+            raw = bytes.fromhex(hx.decode("latin-1"))
+        elif f == b"ASCII85Decode" or f == b"A85":
+            payload = re.sub(rb"\s", b"", raw)
+            payload = payload.split(b"~>", 1)[0]
+            raw = base64.a85decode(payload)
+        else:
+            break
     return raw
 
 
-def _page_order(objs: dict[int, bytes], data: bytes) -> list[int]:
+def _decode_stream(obj: _Obj | None) -> bytes:
+    if obj is None or obj.stream is None:
+        return b""
+    return _apply_filters(obj.body, obj.stream)
+
+
+# ---------------------------------------------------------------------------
+# object streams (PDF 1.5 xref-stream layout)
+# ---------------------------------------------------------------------------
+
+
+def _expand_object_streams(objs: dict[int, _Obj]) -> None:
+    """Expand ``/Type /ObjStm`` containers: header is N pairs of
+    ``objnum offset`` ints, bodies follow from ``/First``.  Embedded
+    objects never contain streams (spec 7.5.7)."""
+    for obj in list(objs.values()):
+        if obj.stream is None or not _TYPE_OBJSTM_RE.search(obj.body):
+            continue
+        nm = _OBJSTM_N_RE.search(obj.body)
+        fm = _OBJSTM_FIRST_RE.search(obj.body)
+        if not (nm and fm):
+            continue
+        try:
+            content = _decode_stream(obj)
+        except (zlib.error, ValueError):
+            continue
+        count, first = int(nm.group(1)), int(fm.group(1))
+        header = content[:first].split()
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(min(count, len(header) // 2))]
+        for i, (onum, off) in enumerate(pairs):
+            end = (first + pairs[i + 1][1]) if i + 1 < len(pairs) \
+                else len(content)
+            if onum not in objs:  # file-level objects win
+                objs[onum] = _Obj(content[first + off:end], None)
+
+
+# ---------------------------------------------------------------------------
+# page tree
+# ---------------------------------------------------------------------------
+
+
+def _page_order(objs: dict[int, _Obj], data: bytes) -> list[int]:
     """Page object numbers in document order via the /Root -> /Pages ->
-    /Kids tree; file-order /Type /Page fallback."""
+    /Kids tree; file-order /Type /Page fallback.  /Root is found in the
+    classic trailer OR an xref-stream dict (both live in ``data``)."""
     root_num = None
     m = _TRAILER_ROOT_RE.search(data)
     if m:
         root_num = int(m.group(1))
     pages_num = None
     if root_num is not None and root_num in objs:
-        pm = _PAGES_REF_RE.search(objs[root_num])
+        pm = _PAGES_REF_RE.search(objs[root_num].body)
         if pm:
             pages_num = int(pm.group(1))
     order: list[int] = []
@@ -96,7 +332,7 @@ def _page_order(objs: dict[int, bytes], data: bytes) -> list[int]:
     def walk(num: int, depth: int = 0) -> None:
         if depth > 32 or num not in objs:
             return
-        body = objs[num]
+        body = objs[num].body
         if _TYPE_PAGES_RE.search(body):
             km = _KIDS_RE.search(body)
             if km:
@@ -108,12 +344,12 @@ def _page_order(objs: dict[int, bytes], data: bytes) -> list[int]:
     if pages_num is not None:
         walk(pages_num)
     if not order:  # damaged/missing trailer: file order
-        order = [n for n, b in objs.items() if _TYPE_PAGE_RE.search(b)]
+        order = [n for n, o in objs.items() if _TYPE_PAGE_RE.search(o.body)]
     return order
 
 
-def _page_content(objs: dict[int, bytes], page_num: int) -> bytes:
-    body = objs[page_num]
+def _page_content(objs: dict[int, _Obj], page_num: int) -> bytes:
+    body = objs[page_num].body
     refs: list[int] = []
     am = _CONTENTS_ARR_RE.search(body)
     if am:
@@ -122,18 +358,223 @@ def _page_content(objs: dict[int, bytes], page_num: int) -> bytes:
         om = _CONTENTS_ONE_RE.search(body)
         if om:
             refs = [int(om.group(1))]
-    return b"\n".join(_decode_stream(objs[r]) for r in refs if r in objs)
+    return b"\n".join(_decode_stream(objs.get(r)) for r in refs)
 
 
-def _decode_pdf_string(raw: bytes) -> str:
+def _resources_dict(objs: dict[int, _Obj], page_num: int,
+                    depth: int = 0) -> bytes:
+    """The page's /Resources dict bytes, following indirect refs and
+    the /Parent inheritance chain (spec 7.7.3.4)."""
+    if depth > 16 or page_num not in objs:
+        return b""
+    body = objs[page_num].body
+    m = re.search(rb"/Resources\s*<<", body)
+    if m:
+        return body[m.end() - 2:_dict_extent(body, m.end() - 2)]
+    m = _RESOURCES_REF_RE.search(body)
+    if m and int(m.group(1)) in objs:
+        return objs[int(m.group(1))].body
+    m = _PARENT_RE.search(body)
+    if m:
+        return _resources_dict(objs, int(m.group(1)), depth + 1)
+    return b""
+
+
+def _named_refs(resources: bytes, key: bytes) -> dict[bytes, int]:
+    """``/Font << /F1 7 0 R … >>`` (or /XObject) -> {b'F1': 7}.
+    Handles the sub-dict inline or as an indirect ref resolved by the
+    caller."""
+    m = re.search(rb"/" + key + rb"\s*<<", resources)
+    if not m:
+        return {}
+    sub = resources[m.end() - 2:_dict_extent(resources, m.end() - 2)]
+    return {nm.group(1): int(nm.group(2)) for nm in
+            re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", sub)}
+
+
+# ---------------------------------------------------------------------------
+# fonts: ToUnicode CMaps, /Differences, AGL subset
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset: ASCII + the punctuation/ligatures common in
+# subset fonts.  Full AGL is 4k entries; these cover the names real
+# generators emit in /Differences for Latin text.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "germandbls": "ß", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "ntilde": "ñ",
+}
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_ch] = _ch
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _parse_hex_groups(seg: bytes) -> list[bytes]:
+    return [bytes.fromhex(re.sub(rb"\s", b"", h).decode("latin-1"))
+            for h in _HEX_RE.findall(seg)]
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[bytes, str], int]:
+    """(code -> text map, code byte width) from a ToUnicode CMap."""
+    width = 1
+    cm = _CODESPACE_RE.search(cmap)
+    if cm:
+        groups = _parse_hex_groups(cm.group(1))
+        if groups:
+            width = len(groups[0])
+    mapping: dict[bytes, str] = {}
+
+    def _utf16(b: bytes) -> str:
+        return b.decode("utf-16-be", errors="replace")
+
+    for seg in _BFCHAR_RE.findall(cmap):
+        groups = _parse_hex_groups(seg)
+        for i in range(0, len(groups) - 1, 2):
+            mapping[groups[i]] = _utf16(groups[i + 1])
+            width = len(groups[i])
+    for seg in _BFRANGE_RE.findall(cmap):
+        # two forms: <lo> <hi> <dst>   and   <lo> <hi> [<d1> <d2> …]
+        for rm in re.finditer(
+            rb"<([0-9a-fA-F\s]+)>\s*<([0-9a-fA-F\s]+)>\s*"
+            rb"(\[[^\]]*\]|<[0-9a-fA-F\s]+>)", seg
+        ):
+            lo = bytes.fromhex(re.sub(rb"\s", b"", rm.group(1)).decode())
+            hi = bytes.fromhex(re.sub(rb"\s", b"", rm.group(2)).decode())
+            width = len(lo)
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big")
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = _parse_hex_groups(dst)
+                for off, d in enumerate(dsts):
+                    if lo_i + off <= hi_i:
+                        code = (lo_i + off).to_bytes(len(lo), "big")
+                        mapping[code] = _utf16(d)
+            else:
+                base = int.from_bytes(
+                    bytes.fromhex(
+                        re.sub(rb"\s", b"", dst[1:-1]).decode()), "big")
+                for off in range(hi_i - lo_i + 1):
+                    code = (lo_i + off).to_bytes(len(lo), "big")
+                    # last code unit increments (spec 9.10.3)
+                    mapping[code] = _utf16(
+                        (base + off).to_bytes(
+                            max(2, (base + off).bit_length() + 7 >> 3),
+                            "big"))
+    return mapping, width
+
+
+def _parse_differences(seg: bytes) -> dict[int, str]:
+    """``/Differences [ 65 /square 66 /uni2603 … ]`` -> {65: '…'}."""
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]<>()]+)", seg):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            ch = _glyph_to_char(tok.group(2).decode("latin-1"))
+            if ch is not None:
+                out[code] = ch
+            code += 1
+    return out
+
+
+def _default_decode(raw: bytes) -> str:
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", errors="replace")
     return raw.decode("latin-1")
 
 
+def _font_decoder(objs: dict[int, _Obj], font_num: int
+                  ) -> Callable[[bytes], str]:
+    """String-bytes -> text decoder for one font object."""
+    if font_num not in objs:
+        return _default_decode
+    body = objs[font_num].body
+    tm = _TOUNICODE_RE.search(body)
+    if tm and int(tm.group(1)) in objs:
+        try:
+            cmap = _decode_stream(objs[int(tm.group(1))])
+        except (zlib.error, ValueError):
+            cmap = b""
+        mapping, width = _parse_tounicode(cmap)
+        if mapping:
+            if width == 1 and _TYPE0_RE.search(body):
+                width = 2
+
+            def decode_cmap(raw: bytes, _m=mapping, _w=width) -> str:
+                out = []
+                for i in range(0, len(raw) - _w + 1, _w):
+                    code = raw[i:i + _w]
+                    out.append(_m.get(code) if code in _m
+                               else _default_decode(code))
+                return "".join(out)
+
+            return decode_cmap
+    # /Encoding with /Differences — inline dict or indirect
+    enc_body = body
+    em = _ENCODING_REF_RE.search(body)
+    if em and int(em.group(1)) in objs:
+        enc_body = objs[int(em.group(1))].body
+    dm = _DIFFERENCES_RE.search(enc_body)
+    if dm:
+        diffs = _parse_differences(dm.group(1))
+
+        def decode_diff(raw: bytes, _d=diffs) -> str:
+            return "".join(_d.get(b, chr(b)) for b in raw)
+
+        return decode_diff
+    if _TYPE0_RE.search(body):
+        # Identity-H without ToUnicode: best effort UTF-16BE
+        return lambda raw: raw.decode("utf-16-be", errors="replace")
+    return _default_decode
+
+
+def _page_fonts(objs: dict[int, _Obj], page_num: int
+                ) -> dict[bytes, Callable[[bytes], str]]:
+    res = _resources_dict(objs, page_num)
+    return {b"/" + name: _font_decoder(objs, num)
+            for name, num in _named_refs(res, b"Font").items()}
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter
+# ---------------------------------------------------------------------------
+
+
 def _tokenize(content: bytes):
-    """Yield ('str', bytes) | ('num', float) | ('op', bytes) |
-    ('[',) | (']',) tokens from a content stream."""
+    """Yield ('str', bytes) | ('num', float) | ('name', bytes) |
+    ('op', bytes) | ('[',) | (']',) tokens from a content stream."""
     i, n = 0, len(content)
     while i < n:
         c = content[i]
@@ -202,9 +643,9 @@ def _tokenize(content: bytes):
         elif c == 0x5D:
             yield ("]",)
             i += 1
-        elif c == 0x2F:  # name
+        elif c == 0x2F:  # name — an OPERAND (e.g. the font of Tf)
             m = re.match(rb"/[^\s()<>\[\]{}/%]*", content[i:])
-            yield ("op", m.group(0))
+            yield ("name", m.group(0))
             i += m.end()
         else:
             m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", content[i:])
@@ -220,13 +661,22 @@ def _tokenize(content: bytes):
                     i += 1
 
 
-def _content_text(content: bytes) -> str:
-    """Interpret one page's content stream into text lines."""
+def _content_text(content: bytes,
+                  fonts: dict[bytes, Callable[[bytes], str]] | None = None
+                  ) -> str:
+    """Interpret one page's content stream into text lines, decoding
+    strings through the currently-selected font (Tf)."""
+    fonts = fonts or {}
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
     in_array: list | None = None
-    stack: list = []  # operand stack (numbers/strings)
+    stack: list = []  # operand stack (numbers/strings/names)
+    decode: Callable[[bytes], str] = _default_decode
+    last_tm_f: float | None = None  # Tm vertical offset of this block
+
+    def _nums(s: list) -> list[float]:
+        return [t[1] for t in s if isinstance(t, tuple) and t[0] == "num"]
 
     def flush_line() -> None:
         if cur:
@@ -240,38 +690,58 @@ def _content_text(content: bytes) -> str:
         elif kind == "]":
             stack.append(in_array if in_array is not None else [])
             in_array = None
-        elif kind in ("str", "num"):
+        elif kind in ("str", "num", "name"):
             (in_array if in_array is not None else stack).append(tok)
         else:
             op = tok[1]
             if op == b"BT":
                 in_text = True
+                last_tm_f = None
             elif op == b"ET":
                 flush_line()
                 in_text = False
+            elif op == b"Tf":
+                # operands: /FontName size
+                names = [t for t in stack
+                         if isinstance(t, tuple) and t[0] == "name"]
+                if names:
+                    decode = fonts.get(names[-1][1], _default_decode)
             elif in_text and op == b"Tj":
                 if stack and stack[-1][0] == "str":
-                    cur.append(_decode_pdf_string(stack[-1][1]))
+                    cur.append(decode(stack[-1][1]))
             elif in_text and op == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     for el in stack[-1]:
                         if el[0] == "str":
-                            cur.append(_decode_pdf_string(el[1]))
+                            cur.append(decode(el[1]))
                         elif el[0] == "num" and el[1] <= _TJ_SPACE_KERN:
                             if cur and not cur[-1].endswith(" "):
                                 cur.append(" ")
             elif in_text and op == b"'":
                 flush_line()
                 if stack and stack[-1][0] == "str":
-                    cur.append(_decode_pdf_string(stack[-1][1]))
+                    cur.append(decode(stack[-1][1]))
             elif in_text and op == b'"':
                 flush_line()
                 if stack and stack[-1][0] == "str":
-                    cur.append(_decode_pdf_string(stack[-1][1]))
-            elif in_text and op in (b"Td", b"TD", b"T*", b"Tm"):
-                # a text-position op after shown text starts a new line
-                # (Tm/Td-per-line is how virtually all generators emit)
+                    cur.append(decode(stack[-1][1]))
+            elif in_text and op in (b"Td", b"TD"):
+                # only a VERTICAL move starts a new line: per-glyph
+                # positioned text (Qt et al.) emits `tx 0 Td <g> Tj`
+                # runs that must stay on one line, while line breaks
+                # are `tx ty Td` with ty != 0
+                nums = _nums(stack)
+                if not nums or nums[-1] != 0.0:
+                    flush_line()
+            elif in_text and op == b"T*":
                 flush_line()
+            elif in_text and op == b"Tm":
+                # new line iff the vertical component changed
+                nums = _nums(stack)
+                f = nums[-1] if len(nums) >= 6 else None
+                if f is None or last_tm_f is None or f != last_tm_f:
+                    flush_line()
+                last_tm_f = f
             stack.clear()
     flush_line()
     # in-string \n escapes also break lines
@@ -279,23 +749,81 @@ def _content_text(content: bytes) -> str:
     return "\n".join(seg.rstrip() for seg in out.split("\n")).strip("\n")
 
 
-def extract_pdf_pages(data: bytes) -> list[str]:
-    """Text of each page, in document page order."""
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _parse(data: bytes) -> tuple[dict[int, _Obj], list[int]]:
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF- header")
     objs = _scan_objects(data)
     if not objs:
         raise PdfParseError("no objects")
+    _expand_object_streams(objs)
     order = _page_order(objs, data)
     if not order:
         raise PdfParseError("no pages")
-    return [_content_text(_page_content(objs, p)) for p in order]
+    return objs, order
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """Text of each page, in document page order."""
+    objs, order = _parse(data)
+    return [
+        _content_text(_page_content(objs, p), _page_fonts(objs, p))
+        for p in order
+    ]
 
 
 def extract_pdf_text(data: bytes, page_sep: str = "\n\n") -> str:
     """All page texts joined (reference joins per-page markdown with
     blank lines, parser.py:195-199)."""
     return page_sep.join(extract_pdf_pages(data))
+
+
+def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
+    """Embedded raster images: ``(page_idx, name, HxWxC uint8 array)``
+    per /XObject /Image with Flate gray/RGB/RGBA 8-bit samples (the
+    decodable-without-codec-libs subset; DCT/JPX streams are skipped).
+    Reference parity: the reference rasterizes whole pages and runs
+    region extraction on every one (utils.py:62-141); here the
+    embedded images themselves are surfaced to the same CV chain."""
+    objs, order = _parse(data)
+    out: list[tuple[int, str, np.ndarray]] = []
+    for page_idx, p in enumerate(order):
+        res = _resources_dict(objs, p)
+        for name, num in sorted(_named_refs(res, b"XObject").items()):
+            obj = objs.get(num)
+            if obj is None or obj.stream is None:
+                continue
+            body = obj.body
+            if not re.search(rb"/Subtype\s*/Image\b", body):
+                continue
+            wm = re.search(rb"/Width\s+(\d+)", body)
+            hm = re.search(rb"/Height\s+(\d+)", body)
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+            if not (wm and hm) or (bm and int(bm.group(1)) != 8):
+                continue
+            w, h = int(wm.group(1)), int(hm.group(1))
+            try:
+                raw = _decode_stream(obj)
+            except (zlib.error, ValueError):
+                continue
+            if re.search(rb"/ColorSpace\s*/DeviceRGB\b", body):
+                ch = 3
+            elif re.search(rb"/ColorSpace\s*/DeviceGray\b", body):
+                ch = 1
+            elif len(raw) == w * h * 4:
+                ch = 4
+            else:
+                continue
+            if len(raw) < w * h * ch:
+                continue
+            arr = np.frombuffer(raw[:w * h * ch], dtype=np.uint8)
+            arr = arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+            out.append((page_idx, name.decode("latin-1"), arr))
+    return out
 
 
 def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n"
@@ -320,9 +848,11 @@ def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n"
 
 
 # ---------------------------------------------------------------------------
-# mini-PDF writer — genuine PDF 1.4 bytes (xref table, FlateDecode
-# content streams) for the synth generator and tests.  Output parses
-# with any conformant reader, not just this module.
+# mini-PDF writer — genuine PDF 1.4/1.5 bytes (classic xref table or
+# ObjStm layout, FlateDecode content streams, optional ToUnicode /
+# Differences fonts, optional embedded image XObjects) for the synth
+# generator and tests.  Output parses with any conformant reader, not
+# just this module.
 # ---------------------------------------------------------------------------
 
 
@@ -333,12 +863,20 @@ def _esc(s: str) -> bytes:
     )
 
 
-def make_pdf_bytes(pages: list[list[str]], compress: bool = True) -> bytes:
+def make_pdf_bytes(
+    pages: list[list[str]],
+    compress: bool = True,
+    images: dict[int, np.ndarray] | None = None,
+) -> bytes:
     """Build a real multi-page PDF: one content stream per page, one
-    line per list entry, Helvetica 12pt, 14pt leading."""
+    line per list entry, Helvetica 12pt, 14pt leading.  ``images``
+    optionally embeds an RGB/gray uint8 array as a Flate /Image
+    XObject on the given page index (drawn via cm+Do)."""
+    images = images or {}
     n_pages = len(pages)
     objects: list[bytes] = []  # bodies, object number = index + 1
     font_num = 3 + 2 * n_pages
+    img_nums = {pi: font_num + 1 + k for k, pi in enumerate(sorted(images))}
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")                # 1
     objects.append(
@@ -346,9 +884,11 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = True) -> bytes:
     for i, lines in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
+        xobj = (f" /XObject << /Im{i} {img_nums[i]} 0 R >>"
+                if i in images else "")
         objects.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Resources << /Font << /F1 {font_num} 0 R >>{xobj} >> "
             f"/Contents {content_num} 0 R >>".encode())
         ops = [b"BT /F1 12 Tf 72 720 Td"]
         for j, line in enumerate(lines):
@@ -356,6 +896,10 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = True) -> bytes:
                 ops.append(b"0 -14 Td")
             ops.append(b"(" + _esc(line) + b") Tj")
         ops.append(b"ET")
+        if i in images:
+            arr = images[i]
+            h, w = arr.shape[:2]
+            ops.append(f"q {w} 0 0 {h} 100 400 cm /Im{i} Do Q".encode())
         stream = b" ".join(ops)
         if compress:
             stream = zlib.compress(stream)
@@ -366,6 +910,17 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = True) -> bytes:
         objects.append(head + b"\nstream\n" + stream + b"\nendstream")
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # font
+    for pi in sorted(images):
+        arr = images[pi]
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        cs = "/DeviceGray" if ch == 1 else "/DeviceRGB"
+        raw = zlib.compress(np.ascontiguousarray(arr).tobytes())
+        objects.append(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace {cs} /BitsPerComponent 8 /Filter /FlateDecode "
+            f"/Length {len(raw)} >>".encode()
+            + b"\nstream\n" + raw + b"\nendstream")
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -380,4 +935,142 @@ def make_pdf_bytes(pages: list[list[str]], compress: bool = True) -> bytes:
     buf += (
         f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(buf)
+
+
+def make_pdf_bytes_cmap(
+    pages: list[list[str]],
+    codes: dict[str, int] | None = None,
+) -> bytes:
+    """A PDF whose text is shown through a SUBSET FONT with remapped
+    byte codes and a /ToUnicode CMap — the structure real generators
+    emit for embedded fonts, which latin-1 decoding garbles.  Each
+    distinct character in ``pages`` gets a code (1-based, in first-seen
+    order unless ``codes`` pins them); strings are written as hex with
+    those codes; the CMap carries code -> UTF-16BE mappings."""
+    if codes is None:
+        codes = {}
+        for lines in pages:
+            for line in lines:
+                for ch in line:
+                    if ch not in codes:
+                        codes[ch] = len(codes) + 1
+    n_pages = len(pages)
+    objects: list[bytes] = []
+    font_num = 3 + 2 * n_pages
+    cmap_num = font_num + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, lines in enumerate(pages):
+        content_num = 3 + 2 * i + 1
+        objects.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>".encode())
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append(b"0 -14 Td")
+            hexes = "".join(f"{codes[ch]:02x}" for ch in line)
+            ops.append(f"<{hexes}> Tj".encode())
+        ops.append(b"ET")
+        stream = zlib.compress(b" ".join(ops))
+        objects.append(
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + stream + b"\nendstream")
+    objects.append(
+        f"<< /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+Subset "
+        f"/FirstChar 1 /LastChar {len(codes)} "
+        f"/ToUnicode {cmap_num} 0 R >>".encode())
+    bfchars = "\n".join(
+        f"<{code:02x}> <{ch.encode('utf-16-be').hex()}>"
+        for ch, code in codes.items())
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin begincmap\n"
+        "/CMapName /Adobe-Identity-UCS def /CMapType 2 def\n"
+        "1 begincodespacerange <01> <ff> endcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap CMapName currentdict /CMap defineresource pop end end"
+    ).encode("latin-1")
+    objects.append(f"<< /Length {len(cmap)} >>".encode()
+                   + b"\nstream\n" + cmap + b"\nendstream")
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(buf)
+
+
+def make_pdf_bytes_objstm(pages: list[list[str]]) -> bytes:
+    """A PDF 1.5 layout: catalog, page tree and page dicts live inside
+    a compressed /Type /ObjStm object stream (content streams stay
+    file-level, as the spec requires streams outside ObjStm); the
+    trailer dict carries /Root as in an xref-stream file."""
+    n_pages = len(pages)
+    # numbering: 1 catalog, 2 pages, 3..(2+n) page dicts  (in ObjStm)
+    #            10.. content streams, font, objstm        (file level)
+    content_base = 10
+    font_num = content_base + n_pages
+    objstm_num = font_num + 1
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    embedded: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
+    ]
+    for i in range(n_pages):
+        embedded.append((3 + i, (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_base + i} 0 R >>").encode()))
+    bodies = [b for _, b in embedded]
+    offs = []
+    at = 0
+    for b in bodies:
+        offs.append(at)
+        at += len(b) + 1
+    header = " ".join(f"{num} {off}"
+                      for (num, _), off in zip(embedded, offs)).encode()
+    payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+    first = len(header) + 1
+    stm = zlib.compress(payload)
+
+    file_objs: list[tuple[int, bytes]] = []
+    for i, lines in enumerate(pages):
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        cstream = zlib.compress(b" ".join(ops))
+        file_objs.append((content_base + i, (
+            f"<< /Length {len(cstream)} /Filter /FlateDecode >>".encode()
+            + b"\nstream\n" + cstream + b"\nendstream")))
+    file_objs.append((font_num,
+                      b"<< /Type /Font /Subtype /Type1"
+                      b" /BaseFont /Helvetica >>"))
+    file_objs.append((objstm_num, (
+        f"<< /Type /ObjStm /N {len(embedded)} /First {first} "
+        f"/Filter /FlateDecode /Length {len(stm)} >>".encode()
+        + b"\nstream\n" + stm + b"\nendstream")))
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    for num, body in file_objs:
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    # xref-stream files carry /Root in the xref stream's dict; the
+    # parser reads it from the raw bytes, so a minimal trailer works
+    buf += (b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
     return bytes(buf)

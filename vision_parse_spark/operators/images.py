@@ -372,14 +372,53 @@ def extract_images(
     return out
 
 
+def page_from_image_array(arr: np.ndarray) -> np.ndarray:
+    """Composite a decoded embedded image onto a white page canvas
+    (the analog of the reference's rendered-page bitmap) so the SAME
+    region-detection chain runs on it: gray -> 3-channel, RGBA -> RGB,
+    then a white border sized so P4's page-fraction bound (region <=
+    0.95*page, utils.py:100-104) cannot reject the image itself."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    elif arr.shape[2] == 4:
+        arr = arr[..., :3]
+    h, w = arr.shape[:2]
+    by = max(16, int(np.ceil(h * 0.06)))
+    bx = max(16, int(np.ceil(w * 0.06)))
+    page = np.full((h + 2 * by, w + 2 * bx, 3), 255, dtype=np.uint8)
+    page[by:by + h, bx:bx + w] = arr
+    return page
+
+
 def extract_images_from_marker_text(
     text: str, image_mode: str, page_number: int, **kwargs
 ) -> list[dict]:
-    """Render pages for every ``[[PAGE_IMAGE ...]]`` marker in ``text``
-    and run region extraction on each; concatenates results in marker
-    order (per-page idx numbering restarts like the reference's
-    per-page calls)."""
+    """Image regions for one turn payload.
+
+    * ``%PDF-`` payloads: embedded /XObject /Image streams are decoded
+      (functions/pdf.py) and each runs through region extraction on a
+      white-page composite, numbered by its PDF page index — the lift
+      of the reference extracting regions from every rendered page
+      (utils.py:62-141).
+    * ``[[PAGE_IMAGE ...]]`` markers: deterministic synthetic pages
+      (the no-raster-libs channel), numbered by turn.
+
+    Results concatenate in page/marker order (per-page idx numbering
+    restarts like the reference's per-page calls)."""
     results: list[dict] = []
+    if text and text.startswith("%PDF-"):
+        from ..functions.pdf import PdfParseError, extract_pdf_images
+
+        try:
+            embedded = extract_pdf_images(
+                text.encode("latin-1", errors="replace"))
+        except (PdfParseError, ValueError):
+            embedded = []
+        for page_idx, _name, arr in embedded:
+            results.extend(
+                extract_images(page_from_image_array(arr), image_mode,
+                               page_idx, **kwargs)
+            )
     for m in MARKER_RE.finditer(text or ""):
         w, h, seed = int(m.group(1)), int(m.group(2)), int(m.group(3))
         noise = int(m.group(4) or 0)

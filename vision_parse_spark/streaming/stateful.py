@@ -24,7 +24,7 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, IntegerType, StringType, StructField, StructType,
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 ASSEMBLED_SCHEMA = StructType(
@@ -93,5 +93,89 @@ def assembled_stream(turns_stream):
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time variant — emission is DATA-deterministic under replay
+# ---------------------------------------------------------------------------
+
+# v2 state carries the max event time seen (epoch ms) so late rows
+# never regress the timeout
+STATE_SCHEMA_EVENT = StructType(
+    [
+        StructField("idxs", ArrayType(IntegerType()), False),
+        StructField("texts", ArrayType(StringType()), False),
+        StructField("max_ts", LongType(), False),
+    ]
+)
+
+
+def make_event_assembler(gap_ms: int = 5000):
+    """Event-time conversation assembler: a conversation emits when
+    the WATERMARK passes (its max event time + ``gap_ms``) — a
+    function of the data alone, so two replays of the same input
+    produce identical emissions regardless of scheduling (the
+    ProcessingTimeTimeout variant's emission timing is wall-clock
+    dependent; round-2 robustness nit)."""
+
+    def assemble(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            st_idxs, st_texts, _ = state.get
+            ordered = [t for _, t in
+                       sorted(zip(list(st_idxs), list(st_texts)))]
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_turns": len(ordered),
+                  "document": "\n".join(ordered)}]
+            )
+            return
+
+        idxs: list[int] = []
+        texts: list[str] = []
+        max_ts = 0
+        if state.exists:
+            st_idxs, st_texts, st_max = state.get
+            idxs = [int(i) for i in st_idxs]
+            texts = [str(t) for t in st_texts]
+            max_ts = int(st_max)
+        for pdf in pdfs:
+            idxs.extend(int(i) for i in pdf["turn_idx"])
+            texts.extend(str(t) for t in pdf["markdown"])
+            if len(pdf):
+                batch_max = int(pdf["ts"].astype("int64").max() // 1_000_000)
+                max_ts = max(max_ts, batch_max)
+        state.update((idxs, texts, max_ts))
+        state.setTimeoutTimestamp(max_ts + gap_ms)
+        yield pd.DataFrame(
+            {"conv_id": pd.Series(dtype="object"),
+             "n_turns": pd.Series(dtype="int32"),
+             "document": pd.Series(dtype="object")}
+        )
+
+    return assemble
+
+
+def assembled_stream_event(turns_stream, gap: str = "5 seconds",
+                           watermark: str = "2 seconds",
+                           gap_ms: int = 5000):
+    """Event-time assembly over (conv_id, turn_idx, markdown, ts):
+    watermarked input + EventTimeTimeout, bounded state, replay-
+    deterministic emissions."""
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_event_assembler(gap_ms),
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType=STATE_SCHEMA_EVENT,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

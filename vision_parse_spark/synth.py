@@ -28,7 +28,7 @@ SEED = 42
 # bump when generated content changes (cache-busts bench input dirs
 # under /tmp so scaling/bench arms never read a previous version's
 # payload mix)
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 # Zipf-ish conversation-length pattern, repeated periodically.  One
 # 96-turn conversation per 32 -> long-conv skew without driver state.
@@ -125,6 +125,11 @@ def gen_payloads(ids: np.ndarray) -> pd.DataFrame:
 
         sel = np.flatnonzero(m_pdf)
         n_pages = 1 + (_mix(ids[m_pdf], 630) % np.uint64(3)).astype(np.int64)
+        # a quarter of pdf payloads embed a real /Image XObject (a
+        # gradient block sized from the id) exercising the embedded-
+        # image -> CV-region -> media-sink channel end to end
+        img_flag = (_mix(ids, 631) % np.uint64(4) == 0)
+        img_geom = _mix(ids, 632)
         t_arr = title.to_numpy()
         b_arr = body.to_numpy()
         b2_arr = body2.to_numpy()
@@ -136,7 +141,16 @@ def gen_payloads(ids: np.ndarray) -> pd.DataFrame:
                  b2_arr[pos][:60]]
                 for p in range(int(npg))
             ]
-            vals.append(make_pdf_bytes(pages).decode("latin-1"))
+            images = None
+            if img_flag[pos]:
+                g = int(img_geom[pos])
+                w = 110 + (g % 64)
+                h = 105 + ((g >> 6) % 64)
+                grad = np.linspace(60, 200, w).astype(np.uint8)
+                images = {0: np.repeat(
+                    np.broadcast_to(grad, (h, w))[:, :, None], 3, axis=2)}
+            vals.append(
+                make_pdf_bytes(pages, images=images).decode("latin-1"))
         text[m_pdf] = vals
 
     m = kind_idx == 2  # headed: title + sections + bullets
