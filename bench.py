@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "cosine_topk",
     "lev_similarity",
+    # round 3: narrow-Generate and LSH-join physics representatives
+    # (both oracled) so regressions across operator classes are visible
+    "chunk_documents",
+    "embedding_near_dups",
 ]
 
 

@@ -28,9 +28,51 @@ def test_decode_rejects_non_png():
         decode_png(b"not a png at all")
 
 
-def test_jpeg_stub_raises():
+def test_jpeg_roundtrip_rgb_and_gray():
+    from vision_parse_spark.functions.jpeg import encode_jpeg
+
+    x = np.linspace(0, 255, 96)
+    y = np.linspace(0, 255, 64)
+    img = np.zeros((64, 96, 3), dtype=np.uint8)
+    img[..., 0] = x[None, :].astype(np.uint8)
+    img[..., 1] = y[:, None].astype(np.uint8)
+    img[..., 2] = ((x[None, :] + y[:, None]) / 2).astype(np.uint8)
+    for quality, sub, tol in [(95, False, 4), (85, True, 10)]:
+        dec = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+    gray = (np.add.outer(np.arange(40), np.arange(56)) * 2 % 256) \
+        .astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 3
+
+
+def test_jpeg_odd_dims_roundtrip():
+    from vision_parse_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    smooth = np.clip(
+        rng.integers(80, 120, (1, 1, 3))
+        + np.add.outer(np.arange(37), np.arange(51))[:, :, None] % 40,
+        0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth, 85, subsample=True))
+    assert dec.shape == (37, 51, 3)
+    assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 6
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import struct
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8")  # SOI only, no SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # a minimal SOF2 (progressive) header must be rejected honestly
+    sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(b"\xff\xd8")
+        decode_jpeg(sof2)
 
 
 def test_resize_nearest():
@@ -55,11 +97,10 @@ def test_image_features_pipeline(spark):
     assert len(feats) == 21
     ok = [r for r in feats if r.status == "ok"]
     err = [r for r in feats if r.status == "error"]
-    # jpeg-stub (i%7==6), raw-frames (i%7==5) and wav (i%7==4) rows are
-    # not images -> error-as-data
-    assert len(err) == 9 and len(ok) == 12
-    assert all("NotImplementedError" in r.error for r in err
-               if "jpeg" in (r.error or "") or True)
+    # jpeg rows (i%7==6) now DECODE (real codec); raw-frames (i%7==5)
+    # and wav (i%7==4) rows are not images -> error-as-data
+    assert len(err) == 6 and len(ok) == 15
+    assert all("NotImplementedError" in r.error for r in err)
     r = ok[0]
     assert r.width >= 110 and r.height >= 110
     assert len(r.mean_rgb) == 3 and len(r.hist16) == 16

@@ -308,3 +308,35 @@ def test_cmap_pdf_survives_extract_series():
     out, ok = extract_pdf_text_series(payloads)
     assert list(ok) == [True, True]
     assert list(out) == ["cmap text", "objstm text"]
+
+
+def test_dctdecode_image_xobject_decodes():
+    """A JPEG-compressed (/DCTDecode) image XObject inside a PDF
+    decodes through the baseline codec and reaches the image channel."""
+    import numpy as np
+
+    from vision_parse_spark.functions.jpeg import encode_jpeg
+    from vision_parse_spark.functions.pdf import extract_pdf_images
+
+    x = np.linspace(0, 255, 64)
+    img = np.zeros((48, 64, 3), dtype=np.uint8)
+    img[..., 0] = x[None, :].astype(np.uint8)
+    img[..., 1] = 128
+    img[..., 2] = x[::-1][None, :].astype(np.uint8)
+    jpg = encode_jpeg(img, quality=90)
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+        b"<< /ImJ 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 14 >>\nstream\nBT (t) Tj ET\nendstream\n"
+        b"endobj\n"
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 64 /Height 48"
+        b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode"
+        b" /Length " + str(len(jpg)).encode() + b" >>\nstream\n" + jpg
+        + b"\nendstream\nendobj\n")
+    ims = extract_pdf_images(pdf)
+    assert len(ims) == 1
+    page_idx, name, arr = ims[0]
+    assert (page_idx, name) == (0, "ImJ")
+    assert arr.shape == (48, 64, 3)
+    # lossy codec: near-equal, not byte-equal
+    assert np.abs(arr.astype(int) - img.astype(int)).mean() < 4

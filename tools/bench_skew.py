@@ -1,0 +1,155 @@
+"""Skew demonstration at bench scale (round-2 verdict item 8).
+
+Builds a PATHOLOGICAL Zipf transcripts table — one conversation holds
+``VPS_SKEW_HOT_FRAC`` (default 10%) of ALL turns — and measures the
+per-conversation aggregation both ways:
+
+* ``direct``  — single-phase ``groupBy(conv_id)``: the hot key's every
+  row lands on ONE reducer.
+* ``salted``  — two-phase ``conv_stats_salted``: phase 1 groups by
+  (conv_id, salt), spreading the hot key over ``salt_buckets``
+  reducers; phase 2 combines the tiny partials.
+
+Reported per mode:
+* wall-clock (best of ``VPS_SKEW_REPEATS``) for the full aggregation;
+* reducer-input balance: max/median rows per shuffle partition for the
+  first (heavy) exchange, computed exactly from the same hash layout
+  Spark uses (pmod of the group-key hash into shuffle partitions) —
+  the data-level proof that the salted plan removes the straggler,
+  independent of box noise.
+
+Writes BENCH/skew.json and prints one JSON line.
+
+Usage: python tools/bench_skew.py  (env: VPS_SKEW_TURNS=2000000,
+VPS_SKEW_HOT_FRAC=0.1, SPARK_GRAFT_CPUS=32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_TURNS = int(os.environ.get("VPS_SKEW_TURNS", "2000000"))
+HOT_FRAC = float(os.environ.get("VPS_SKEW_HOT_FRAC", "0.1"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEATS = int(os.environ.get("VPS_SKEW_REPEATS", "3"))
+SHUFFLE_PARTS = 32
+SALT_BUCKETS = 32
+
+
+def build_input(spark):
+    """Distributed synthesis, no Python: id < hot_n -> the hot conv;
+    the rest spread over ~8-turn conversations.  Text is an id-derived
+    hex string (60-180 chars) so sum(length)/min/max do real work."""
+    from pyspark.sql import functions as F
+
+    hot_n = int(N_TURNS * HOT_FRAC)
+    df = spark.range(N_TURNS, numPartitions=CPUS * 2)
+    conv = F.when(F.col("id") < hot_n, F.lit("conv_hot")).otherwise(
+        F.concat(F.lit("conv_"), ((F.col("id") - hot_n) / 8).cast("long")
+                 .cast("string")))
+    text = F.concat(
+        F.md5(F.col("id").cast("string")),
+        F.repeat(F.lit("x"), (F.col("id") % 150).cast("int")),
+    )
+    return df.select(
+        conv.alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+        text.alias("text"),
+        F.timestamp_seconds(F.col("id") % 100000).alias("ts"),
+    )
+
+
+def reducer_balance(df, keys) -> dict:
+    """Exact phase-1 shuffle balance: rows per reducer when the group
+    key hashes into SHUFFLE_PARTS partitions (Spark's HashPartitioner
+    layout on the agg's Exchange)."""
+    from pyspark.sql import functions as F
+
+    per = (
+        df.groupBy(F.pmod(F.xxhash64(*keys), F.lit(SHUFFLE_PARTS))
+                   .alias("reducer"))
+        .count()
+        .orderBy("count")
+        .collect()
+    )
+    counts = sorted(int(r["count"]) for r in per)
+    med = counts[len(counts) // 2] if counts else 0
+    return {
+        "reducers": len(counts),
+        "max_rows": counts[-1] if counts else 0,
+        "median_rows": med,
+        "max_over_median": round(counts[-1] / max(med, 1), 2),
+    }
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark.operators.aggregate import (
+        conv_stats_direct,
+        conv_stats_salted,
+    )
+    from vision_parse_spark.session import get_spark
+
+    spark = get_spark(
+        "vps-skew", cores=CPUS,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": str(SHUFFLE_PARTS),
+            # measure the PLAN's skew handling, not AQE's runtime
+            # patch-up of it
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    inp = f"/tmp/vps_skew_input_{N_TURNS}_{int(HOT_FRAC * 100)}"
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")) and not any(
+        f.endswith(".parquet") for f in
+        (os.listdir(inp) if os.path.isdir(inp) else [])
+    ):
+        build_input(spark).write.mode("overwrite").parquet(inp)
+    df = spark.read.parquet(inp)
+
+    salt = F.pmod(F.xxhash64("conv_id", "text", "turn_idx", "ts"),
+                  F.lit(SALT_BUCKETS))
+    balance = {
+        "direct": reducer_balance(df, ["conv_id"]),
+        "salted": reducer_balance(df.withColumn("_salt", salt),
+                                  ["conv_id", "_salt"]),
+    }
+
+    timings = {}
+    for mode, fn in (("direct", conv_stats_direct),
+                     ("salted", conv_stats_salted)):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            n = fn(df).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[mode] = round(best, 3)
+        expected = int((N_TURNS - int(N_TURNS * HOT_FRAC)) / 8) + 1 + 1
+        assert abs(n - expected) <= 1, f"{mode}: {n} convs != ~{expected}"
+
+    result = {
+        "metric": "skew_demo",
+        "n_turns": N_TURNS,
+        "hot_frac": HOT_FRAC,
+        "cpus": CPUS,
+        "shuffle_partitions": SHUFFLE_PARTS,
+        "salt_buckets": SALT_BUCKETS,
+        "wall_sec": timings,
+        "reducer_balance": balance,
+        "speedup_salted": round(timings["direct"] / timings["salted"], 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/skew.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

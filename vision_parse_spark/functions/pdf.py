@@ -800,16 +800,28 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
             body = obj.body
             if not re.search(rb"/Subtype\s*/Image\b", body):
                 continue
+            try:
+                raw = _decode_stream(obj)
+            except (zlib.error, ValueError):
+                continue
+            if b"DCTDecode" in _filters_of(body) or b"DCT" in \
+                    _filters_of(body):
+                # JPEG-compressed XObject: the cascade stopped at the
+                # DCT filter, so `raw` is the JPEG bitstream
+                try:
+                    from .jpeg import decode_jpeg
+
+                    out.append((page_idx, name.decode("latin-1"),
+                                decode_jpeg(raw)))
+                except (ValueError, NotImplementedError):
+                    pass
+                continue
             wm = re.search(rb"/Width\s+(\d+)", body)
             hm = re.search(rb"/Height\s+(\d+)", body)
             bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
             if not (wm and hm) or (bm and int(bm.group(1)) != 8):
                 continue
             w, h = int(wm.group(1)), int(hm.group(1))
-            try:
-                raw = _decode_stream(obj)
-            except (zlib.error, ValueError):
-                continue
             if re.search(rb"/ColorSpace\s*/DeviceRGB\b", body):
                 ch = 3
             elif re.search(rb"/ColorSpace\s*/DeviceGray\b", body):

@@ -17,8 +17,11 @@ Real here (stdlib/numpy only):
 * nearest-neighbor resize,
 * deterministic frame sampling over a concatenated-frames "video".
 
+* baseline JPEG decode (pure-Python/numpy codec, functions/jpeg.py —
+  real since round 3; progressive/arithmetic still raise).
+
 STUBBED (libs not in this container, Spark plumbing still real):
-* JPEG/WebP decode, compressed-audio decode -> ``NotImplementedError``
+* WebP decode, compressed-audio decode -> ``NotImplementedError``
   with a clear message; gate callers on ``codec`` metadata.
 """
 
@@ -147,11 +150,13 @@ def decode_png(png: bytes) -> np.ndarray:
     return out[:, :, 0] if ch == 1 else out
 
 
-def decode_jpeg(_: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "JPEG decode requires an image codec library not present in this "
-        "environment; plug a decoder in here (schema/batching unchanged)"
-    )
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline (SOF0) JPEG -> uint8 array via the pure-Python codec
+    (functions/jpeg.py); progressive/arithmetic files still raise
+    ``NotImplementedError`` from the codec, honestly gated."""
+    from ..functions.jpeg import decode_jpeg as _dj
+
+    return _dj(data)
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -347,8 +352,15 @@ def synth_media(spark, n: int, partitions: int = 4) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 if i % 7 == 6:
-                    kind, codec = "image", "jpeg"  # stub path
-                    payload, w, h, nf = b"\xff\xd8fakejpeg", 0, 0, None
+                    kind, codec = "image", "jpeg"  # real baseline JPEG
+                    from ..functions.jpeg import encode_jpeg
+
+                    page = render_page(100 + i % 50, 100 + i % 70,
+                                       seed=i)
+                    h, w = page.shape[:2]
+                    nf = None
+                    payload = encode_jpeg(page, quality=85,
+                                          subsample=(i % 2 == 0))
                 elif i % 7 == 5:
                     kind, codec = "video", "raw-frames"
                     h, w, nf = 8, 8, 12
