@@ -167,3 +167,33 @@ def test_foreach_batch_merge_crash_window_replay(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 200  # overwrite-in-place, not append-dup
     assert os.path.exists(manifest)
+
+
+def test_foreach_batch_upsert_updates_keys(spark, tmp_path):
+    """Streaming keyed-upsert sink: a later batch re-emitting existing
+    keys UPDATES them (no dup, no stale rows); replaying a batch
+    converges to the same table."""
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.sinks.merge import read_merged, verify_lineage
+    from vision_parse_spark.streaming.stream import foreach_batch_upsert
+    from vision_parse_spark.synth import synth_transcripts_spark
+
+    out_dir = str(tmp_path / "upserted")
+    fn = foreach_batch_upsert(out_dir, n_buckets=4)
+    base = extract(synth_transcripts_spark(spark, 200, partitions=2),
+                   ExtractConfig()).select("conv_id", "turn_idx", "markdown")
+
+    fn(base, 0)
+    revised = base.filter(F.col("turn_idx") < 3).withColumn(
+        "markdown", F.concat(F.lit("rev2:"), F.col("markdown")))
+    n_rev = revised.count()
+    fn(revised, 1)
+    fn(revised, 1)  # replay converges, not duplicates
+    back = read_merged(spark, out_dir)
+    assert back.count() == 200
+    assert back.filter(F.col("markdown").startswith("rev2:")).count() == n_rev
+    assert back.filter((F.col("turn_idx") < 3)
+                       & ~F.col("markdown").startswith("rev2:")).count() == 0
+    assert verify_lineage(spark, out_dir)

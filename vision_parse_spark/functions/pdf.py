@@ -804,8 +804,8 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
                 raw = _decode_stream(obj)
             except (zlib.error, ValueError):
                 continue
-            if b"DCTDecode" in _filters_of(body) or b"DCT" in \
-                    _filters_of(body):
+            filters = _filters_of(body)
+            if b"DCTDecode" in filters or b"DCT" in filters:
                 # JPEG-compressed XObject: the cascade stopped at the
                 # DCT filter, so `raw` is the JPEG bitstream
                 try:
@@ -813,6 +813,31 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
 
                     out.append((page_idx, name.decode("latin-1"),
                                 decode_jpeg(raw)))
+                except (ValueError, NotImplementedError):
+                    pass
+                continue
+            if b"CCITTFaxDecode" in filters or b"CCF" in filters:
+                # scanned-fax bitmap (e.g. the reference's own
+                # Texas-Holdem fixture): pure-G4 decode, honoring
+                # BlackIs1 and an optional /Decode [1 0] flip
+                km = re.search(rb"/K\s+(-?\d+)", body)
+                cm = re.search(rb"/Columns\s+(\d+)", body)
+                rm = re.search(rb"/Rows\s+(\d+)", body)
+                if km is None or int(km.group(1)) >= 0 or cm is None:
+                    continue  # G3/mixed not implemented
+                try:
+                    from .ccitt import decode_g4
+
+                    img = decode_g4(
+                        raw,
+                        columns=int(cm.group(1)),
+                        rows=int(rm.group(1)) if rm else None,
+                        black_is_1=bool(
+                            re.search(rb"/BlackIs1\s+true", body)),
+                    )
+                    if re.search(rb"/Decode\s*\[\s*1\s+0\s*\]", body):
+                        img = np.uint8(255) - img
+                    out.append((page_idx, name.decode("latin-1"), img))
                 except (ValueError, NotImplementedError):
                     pass
                 continue

@@ -139,6 +139,34 @@ def foreach_batch_merge(path: str, n_buckets: int = 16,
     return write_batch
 
 
+def foreach_batch_upsert(path: str, n_buckets: int = 16,
+                         key_cols=("conv_id", "turn_idx"),
+                         payload_col: str = "markdown"):
+    """Streaming KEYED-UPSERT sink: each micro-batch MERGEs into the
+    bucketed table (matched keys updated, new keys inserted) via
+    ``sinks.merge.merge_upsert``.  This is the sink for UPDATE-mode
+    flows — re-emitted keys (e.g. a watermarked aggregation revising a
+    window, or re-extraction after a formatter fix) overwrite their
+    previous values instead of duplicating.
+
+    Exactly-once under replay: ``merge_upsert`` is idempotent for a
+    given batch (same incoming keys -> same post-merge table), and a
+    crash mid-swap leaves a staging redo log that the next call
+    completes — so Structured Streaming's re-run of a failed batch_id
+    converges to the same table.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks.merge import merge_upsert
+
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df, path, run_id=f"batch-{int(batch_id)}",
+                     n_buckets=n_buckets, key_cols=key_cols,
+                     payload_col=payload_col)
+
+    return write_batch
+
+
 def turn_rate_per_conv(
     stream: DataFrame,
     window: str = "1 minute",
