@@ -4,6 +4,7 @@ fixtures cannot cover exhaustively."""
 import re
 
 import pandas as pd
+from struct import error as struct_error
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -128,3 +129,63 @@ def test_pdf_series_total_on_garbage(data):
                if data else "%PDF-")
     out, ok = extract_pdf_text_series(pd.Series([payload]))
     assert len(out) == 1 and isinstance(out.iloc[0], str)
+
+
+@given(
+    st.integers(min_value=8, max_value=60),   # h
+    st.integers(min_value=8, max_value=60),   # w
+    st.integers(min_value=0, max_value=200),  # base level
+    st.booleans(),                            # subsample
+    st.booleans(),                            # gray
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_round_trip_bounded_error(h, w, base, subsample, gray):
+    """encode_jpeg -> decode_jpeg on smooth images keeps every pixel
+    within quantization error at q=90, for arbitrary odd/even dims,
+    both samplings, gray and RGB."""
+    import numpy as np
+
+    from vision_parse_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    # genuinely smooth: a scaled linear ramp, no modulo wraparound
+    ramp = (np.add.outer(np.arange(h), np.arange(w))
+            * (50.0 / max(h + w - 2, 1)))
+    if gray:
+        img = np.clip(base + ramp, 0, 255).astype(np.uint8)
+    else:
+        img = np.clip(
+            base + np.stack([ramp, ramp[::-1], ramp[:, ::-1]], axis=-1),
+            0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+    assert dec.shape == img.shape
+    tol = 16 if subsample else 8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_jpeg_decoder_total_on_garbage(data):
+    """decode_jpeg never hangs or crashes the interpreter on arbitrary
+    bytes: it either decodes or raises a typed error."""
+    import pytest as _pytest
+
+    from vision_parse_spark.functions.jpeg import decode_jpeg
+
+    with _pytest.raises((ValueError, NotImplementedError, struct_error,
+                         IndexError)):
+        decode_jpeg(b"\xff\xd8" + data)
+
+
+@given(st.binary(max_size=120), st.integers(min_value=4, max_value=64))
+@settings(max_examples=120, deadline=None)
+def test_ccitt_decoder_total_on_garbage(data, columns):
+    """decode_g4 on arbitrary bytes either decodes some rows or raises
+    a typed error — never an unbounded loop or interpreter crash."""
+    from vision_parse_spark.functions.ccitt import decode_g4
+
+    try:
+        img = decode_g4(data, columns=columns)
+        assert img.ndim == 2 and (img.shape[1] == columns
+                                  or img.shape[0] == 0)
+    except ValueError:
+        pass

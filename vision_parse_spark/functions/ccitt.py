@@ -254,6 +254,6 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
     if rows is not None and len(out_rows) != rows:
         raise ValueError(
             f"CCITT: decoded {len(out_rows)} rows, expected {rows}")
-    coding_black = np.array(out_rows, dtype=bool)
+    coding_black = np.array(out_rows, dtype=bool).reshape(-1, columns)
     bit = coding_black if black_is_1 else ~coding_black
     return np.where(bit, np.uint8(255), np.uint8(0))
