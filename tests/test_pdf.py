@@ -340,3 +340,17 @@ def test_dctdecode_image_xobject_decodes():
     assert arr.shape == (48, 64, 3)
     # lossy codec: near-equal, not byte-equal
     assert np.abs(arr.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_ascii85_filter():
+    import base64
+
+    from vision_parse_spark.functions.pdf import extract_pdf_text
+
+    payload = base64.a85encode(b"BT (eightyfive) Tj ET") + b"~>"
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(payload)).encode()
+        + b" /Filter /ASCII85Decode >>\nstream\n" + payload
+        + b"\nendstream\nendobj\n")
+    assert extract_pdf_text(pdf) == "eightyfive"

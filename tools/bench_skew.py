@@ -134,6 +134,39 @@ def main():
         expected = int((N_TURNS - int(N_TURNS * HOT_FRAC)) / 8) + 1 + 1
         assert abs(n - expected) <= 1, f"{mode}: {n} convs != ~{expected}"
 
+    # ---- extract-level skew: pathological INPUT SPLITS ------------
+    # one parquet file per conversation (the "file-per-conv ingest"
+    # shape): the hot conv's file is one scan split = one straggler
+    # task for the narrow extract stage.  salted_repartition is the
+    # fix the pipeline exposes (extract(salt_partitions=...)).
+    from vision_parse_spark import ExtractConfig, extract
+
+    skew_files = f"{inp}_per_conv"
+    if not os.path.isdir(skew_files):
+        # 1 hot file (10% of rows) + the rest in CPUS files
+        df.filter(F.col("conv_id") == "conv_hot").coalesce(1) \
+            .write.mode("overwrite").parquet(skew_files)
+        df.filter(F.col("conv_id") != "conv_hot").repartition(CPUS) \
+            .write.mode("append").parquet(skew_files)
+    # force file-grain splits (no split merging) so the hot file is
+    # genuinely one task, as it would be on a file-per-conv ingest
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    sdf = spark.read.parquet(skew_files).select(
+        "conv_id", "turn_idx", "text")
+    extract_timings = {}
+    for mode, kwargs in (("narrow_skewed_splits", {}),
+                         ("salted_repartition",
+                          {"salt_partitions": CPUS * 4})):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            n = extract(sdf, ExtractConfig(image_mode=None),
+                        **kwargs).count()
+            best = min(best, time.perf_counter() - t0)
+        assert n == N_TURNS
+        extract_timings[mode] = round(best, 3)
+
     result = {
         "metric": "skew_demo",
         "n_turns": N_TURNS,
@@ -144,6 +177,10 @@ def main():
         "wall_sec": timings,
         "reducer_balance": balance,
         "speedup_salted": round(timings["direct"] / timings["salted"], 3),
+        "extract_skewed_splits_sec": extract_timings,
+        "extract_salted_speedup": round(
+            extract_timings["narrow_skewed_splits"]
+            / extract_timings["salted_repartition"], 3),
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/skew.json", "w") as f:
