@@ -332,6 +332,20 @@ def _q_simhash64_portable(spark, sf_dir):
     return simhash64_portable_cols(_t(spark, sf_dir, "documents"))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    # SimHash near-dup PAIRS: 4x16-bit chunk bucketing (pigeonhole
+    # guarantees hamming<=3 pairs share a chunk), popcount verify.
+    # Fully oracled since round 3: the unified md5 construction lets
+    # DuckDB replay signature -> chunk explode -> bucket self-join ->
+    # xor/bit_count hamming exactly.
+    from vision_parse_spark.operators.dedup import simhash_near_dups
+
+    _ensure_pkg(spark)
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_simhash16(spark, sf_dir):
     # DuckDB-checkable 16-bit SimHash twin (md5 token hashes): per-bit
     # +/-1 majority vote, packed to an int -- portable proof of the
@@ -531,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_signature": _q_minhash_signature,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "simhash16": _q_simhash16,
         "simhash64_portable": _q_simhash64_portable,
         "explode_pages": _q_explode_pages,
@@ -889,6 +904,28 @@ def oracle_sql() -> dict[str, str]:
         # the production pandas-UDF path computes the identical
         # construction (round-3 unification), so it shares the oracle
         "simhash": simhash64_sql,
+        # near-dup pairs: replay chunk bucketing + xor/popcount verify
+        # on top of the same signature construction
+        "simhash_pairs": f"""
+            WITH sig AS ({simhash64_sql}),
+            chunks AS (
+              SELECT doc_id, simhash_lo, simhash_hi,
+                     0 AS ci, simhash_lo & 65535 AS cv FROM sig
+              UNION ALL SELECT doc_id, simhash_lo, simhash_hi,
+                     1, (simhash_lo >> 16) & 65535 FROM sig
+              UNION ALL SELECT doc_id, simhash_lo, simhash_hi,
+                     2, simhash_hi & 65535 FROM sig
+              UNION ALL SELECT doc_id, simhash_lo, simhash_hi,
+                     3, (simhash_hi >> 16) & 65535 FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+                        + bit_count(xor(a.simhash_hi, b.simhash_hi))
+                        AS BIGINT) AS hamming
+            FROM chunks a JOIN chunks b
+              ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+                  + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
+        """,
         "minhash_dedup": minhash_dedup_sql,
         "ann_lsh": f"""
             WITH b AS (
