@@ -69,7 +69,28 @@ def _q_minhash_dedup_fast(spark, sf_dir):
     ).select("doc_id")
 
 
-BENCH_OVERRIDES = {"minhash_dedup": _q_minhash_dedup_fast}
+def _q_embedding_near_dups_fast(spark, sf_dir):
+    """Throughput twin of the contract's embedding_near_dups: same
+    hyperplane buckets, within-bucket verify as one normalized matmul
+    per bucket group (applyInPandas) instead of per-pair Catalyst
+    folds.  Pair-set equality with the portable path is
+    pytest-asserted."""
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark.operators.similarity import (
+        embedding_near_dups_fast,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_dups_fast(e, dim=dim, threshold=0.3, n_planes=4) \
+        .select("id_a", "id_b")
+
+
+BENCH_OVERRIDES = {
+    "minhash_dedup": _q_minhash_dedup_fast,
+    "embedding_near_dups": _q_embedding_near_dups_fast,
+}
 
 
 def _input_parquet(spark, n_turns: int) -> str:

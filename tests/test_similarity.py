@@ -122,3 +122,23 @@ def test_ivf_portable_matches_plan_and_recall(spark, vectors):
              for r in brute_force_topk(vectors, q, k=3).collect()}
     approx = {(r.query_id, r.rank): r.neighbor_id for r in rows}
     assert approx == exact
+
+
+def test_near_dups_fast_twin_matches_portable(spark):
+    """Arrow matmul twin and the Catalyst portable path produce the
+    SAME near-dup pair set on real test data (the bench times the
+    twin; the contract hash-checks the portable path)."""
+    from vision_parse_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_fast,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    slow = {(r.id_a, r.id_b) for r in
+            embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4)
+            .select("id_a", "id_b").collect()}
+    fast = {(r.id_a, r.id_b) for r in
+            embedding_near_dups_fast(e, dim=dim, threshold=0.3, n_planes=4)
+            .select("id_a", "id_b").collect()}
+    assert slow == fast and len(slow) > 0

@@ -179,6 +179,50 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_fast(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow hot-path twin of ``embedding_near_dups``: same hyperplane
+    buckets (Catalyst, narrow), but the within-bucket verify is ONE
+    normalized matmul per bucket group (``applyInPandas``) instead of
+    a per-pair zip_with fold — the throughput shape for the exact-
+    verify stage at scale (each vector lives in exactly one bucket, so
+    every pair is examined once; one shuffle on the bucket id).
+
+    Set-equality with the portable path is pytest-asserted on real
+    data; like any cross-implementation float compare it can only
+    diverge for a pair within ~1 ulp of the threshold (the
+    embedding_near_dups membership lesson)."""
+    b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = pdf[id_col].to_numpy()
+        m = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": np.round(sims[iu, ju][keep], 4)})
+
+    return b.groupBy("lsh_bucket").applyInPandas(
+        pairs_in_bucket, schema="id_a long, id_b long, cosine double")
+
+
 def ivf_topk_portable(
     df: DataFrame,
     queries: DataFrame,
