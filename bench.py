@@ -146,6 +146,29 @@ def main():
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # --- streaming drain: same extract, Structured Streaming path ---
+    # (one code path batch+stream; this measures the micro-batch
+    # overhead on the same 100k-turn input drained with availableNow)
+    from vision_parse_spark.streaming.stream import extract_stream
+
+    stream_sec = float("inf")
+    for i in range(REPEATS):
+        ckpt = f"/tmp/vps_bench_ckpt_{CPUS}_{i}"
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = (
+            extract_stream(spark, inp, ExtractConfig(image_mode="url"),
+                           max_files_per_trigger=max(CPUS, 16))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_sec = min(stream_sec, time.perf_counter() - t0)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -155,6 +178,10 @@ def main():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extract_turns": BENCH_TURNS,
         "extract_turns_per_sec": round(BENCH_TURNS / extract_sec, 1),
+        # informational, outside the summed suite: the SAME extraction
+        # drained through Structured Streaming (availableNow, noop
+        # sink) — one code path batch+stream, quantified
+        "extract_stream_drain_sec": round(stream_sec, 3),
         "cpus": CPUS,
     }))
 
