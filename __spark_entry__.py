@@ -280,6 +280,30 @@ def _q_minhash_dedup(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    # incremental near-dedup — the day-to-day training-pipeline shape:
+    # a NEW batch (odd doc_ids, demo split) deduped against the
+    # accumulated CORPUS (even doc_ids); only new x corpus bucket
+    # collisions are verified.  Portable construction -> full DuckDB
+    # replay of signature/banding/bucket-join/jaccard/anti-join.
+    from vision_parse_spark.operators.dedup import minhash_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return minhash_dedup_incremental(new, corpus).select("doc_id")
+
+
+def _q_hash_split(spark, sf_dir):
+    # deterministic train/test assignment: md5-derived key bucket —
+    # stable across runs/engines/cluster sizes (randomSplit is none of
+    # those); exactly replayable in DuckDB
+    from vision_parse_spark.operators.sampling import with_split
+
+    d = _t(spark, sf_dir, "documents")
+    return with_split(d, "doc_id", train_frac=0.8).select("doc_id", "split")
+
+
 def _q_minhash_signature(spark, sf_dir):
     # DuckDB-checkable MinHash: md5-based shingle hashes (portable
     # across engines, unlike xxhash64/pandas-hash) with 4 affine
@@ -543,7 +567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_incremental": _q_minhash_incremental,
         "minhash_signature": _q_minhash_signature,
+        "hash_split": _q_hash_split,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "simhash16": _q_simhash16,
@@ -648,6 +674,54 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 0.0 END, 6) >= 0.5),
         losers AS (SELECT DISTINCT id_b AS doc_id FROM ver)
         SELECT d.doc_id FROM documents d ANTI JOIN losers USING (doc_id)
+    """
+    # incremental variant: NEW batch (odd ids) vs CORPUS (even ids);
+    # only new x corpus collisions verified, mirroring the operator
+    minhash_incremental_sql = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct(list_transform(
+                             range(len(t) - 2),
+                             i -> array_to_string(t[i + 1 : i + 3], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+          FROM toks),
+        h AS (
+          SELECT doc_id, s,
+                 list_transform(s, x ->
+                   CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                   % {_PRIME}) AS hv
+          FROM sh),
+        sig AS (SELECT doc_id, s, [{sig_list}] AS mh FROM h),
+        banded AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(16),
+                   b -> struct_pack(band := CAST(b AS INT),
+                          bucket := array_to_string(
+                            mh[b * 2 + 1 : b * 2 + 2], ',')))
+                   , recursive := true)
+          FROM sig),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS id_n, c.doc_id AS id_c
+          FROM banded n JOIN banded c
+            ON n.band = c.band AND n.bucket = c.bucket
+           AND n.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+        ver AS (
+          SELECT id_n
+          FROM cand
+          JOIN sh sn ON sn.doc_id = cand.id_n
+          JOIN sh sc ON sc.doc_id = cand.id_c
+          WHERE round(CASE WHEN len(list_distinct(list_concat(sn.s, sc.s))) > 0
+                THEN len(list_intersect(sn.s, sc.s)) * 1.0
+                     / len(list_distinct(list_concat(sn.s, sc.s)))
+                ELSE 0.0 END, 6) >= 0.5),
+        losers AS (SELECT DISTINCT id_n AS doc_id FROM ver)
+        SELECT d.doc_id FROM documents d
+        ANTI JOIN losers USING (doc_id)
+        WHERE d.doc_id % 2 = 1
     """
     extract_join = f"""
         SELECT d.source AS conv_id,
@@ -927,6 +1001,15 @@ def oracle_sql() -> dict[str, str]:
                   + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= 3
         """,
         "minhash_dedup": minhash_dedup_sql,
+        "minhash_incremental": minhash_incremental_sql,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 1000 < 800
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        """,
         "ann_lsh": f"""
             WITH b AS (
               SELECT vec_id, embedding, {bucket_sql} AS lsh_bucket

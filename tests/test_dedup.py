@@ -178,3 +178,34 @@ def test_simhash_empty_and_null_are_zero(spark):
     rows = df.select(simhash64_cols(F.col("text")).alias("s")).collect()
     assert all(r["s"]["simhash_lo"] == 0 and r["s"]["simhash_hi"] == 0
                for r in rows)
+
+
+def test_incremental_dedup_drops_corpus_matches(spark):
+    """A new batch containing (a) a near-copy of a corpus doc, (b) a
+    fresh doc, and (c) an exact copy of a corpus doc keeps only (b);
+    corpus x corpus duplicates are never examined."""
+    from vision_parse_spark.operators.dedup import minhash_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus text about spark shuffles"),
+         (4, "completely different corpus text about spark shuffles")],
+        ["doc_id", "text"])  # 2 and 4 are dups of each other — ignored
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "a genuinely novel document about parquet bucketing"),
+         (5, "completely different corpus text about spark shuffles")],
+        ["doc_id", "text"])
+    out = {r.doc_id for r in
+           minhash_dedup_incremental(new, corpus,
+                                     jaccard_threshold=0.5).collect()}
+    assert out == {3}
+
+
+def test_incremental_dedup_empty_new_batch(spark):
+    from vision_parse_spark.operators.dedup import minhash_dedup_incremental
+
+    corpus = spark.createDataFrame([(0, "some corpus doc")],
+                                   ["doc_id", "text"])
+    new = corpus.filter("doc_id < 0")
+    assert minhash_dedup_incremental(new, corpus).count() == 0

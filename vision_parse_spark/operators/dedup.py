@@ -368,6 +368,64 @@ def minhash_dedup_portable(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dedup: the rows of ``new_df`` that do NOT
+    near-duplicate any document already in ``corpus_df``.
+
+    This is the shape a training-data pipeline actually runs day to
+    day — a new crawl batch against the accumulated corpus — and it is
+    strictly cheaper than re-deduping the union: only (new x corpus)
+    bucket collisions are verified, never corpus x corpus (the corpus
+    is already deduped).  At 100 TB the corpus signatures are computed
+    once and persisted alongside the corpus; each side shuffles once
+    on (band, bucket) and the verify joins texts back by id.
+
+    Portable construction throughout (md5 shingle hashes, affine
+    permutations), so the DuckDB oracle replays the whole pipeline."""
+    rows_per_band = num_perm // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> concat_ws(',', slice(minhash, b * {rows_per_band} + 1,"
+        f" {rows_per_band})))"
+    )
+
+    def banded(side: DataFrame, suffix: str) -> DataFrame:
+        sig = with_minhash_portable(side.select(id_col, text_col),
+                                    text_col, num_perm, shingle_n)
+        return sig.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col("_sh").alias(f"sh_{suffix}"),
+            F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
+        )
+
+    n = banded(new_df, "n").persist()
+    n.count()  # barrier: both the join and the anti-join lineage
+    c = banded(corpus_df, "c")
+    inter = F.size(F.array_intersect("sh_n", "sh_c"))
+    union = F.size(F.array_union("sh_n", "sh_c"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    losers = (
+        n.join(c, ["band", "bucket"])
+        .select("id_n", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_n").alias(id_col))
+        .distinct()
+    )
+    out = new_df.join(losers, id_col, "left_anti")
+    out = out.localCheckpoint(eager=True)
+    n.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — Arrow-vectorized pandas UDF
 # ---------------------------------------------------------------------------
