@@ -294,6 +294,21 @@ def _q_minhash_incremental(spark, sf_dir):
     return minhash_dedup_incremental(new, corpus).select("doc_id")
 
 
+def _q_dup_clusters(spark, sf_dir):
+    # duplicate CLUSTERS: connected components over the verified
+    # near-dup pair graph (iterative min-label propagation, the Spark
+    # connected-components idiom); DuckDB replays via a recursive-CTE
+    # transitive closure over the same pairs
+    from vision_parse_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs_portable(d)
+    return dup_clusters(pairs).select("doc_id", "cluster_id")
+
+
 def _q_hash_split(spark, sf_dir):
     # deterministic train/test assignment: md5-derived key bucket —
     # stable across runs/engines/cluster sizes (randomSplit is none of
@@ -568,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
+        "dup_clusters": _q_dup_clusters,
         "minhash_signature": _q_minhash_signature,
         "hash_split": _q_hash_split,
         "simhash": _q_simhash,
@@ -631,8 +647,10 @@ def oracle_sql() -> dict[str, str]:
         f" + {_PORTABLE_PERMS_B[k]}) % {_PRIME}))"
         for k in range(32)
     )
-    minhash_dedup_sql = f"""
-        WITH toks AS (
+    # shared CTE chain up to the verified near-dup pair set; reused by
+    # the survivor query (minhash_dedup) and the clustering query
+    # (dup_clusters)
+    _mh_pairs_cte = f"""toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
           FROM documents),
         sh AS (
@@ -671,9 +689,27 @@ def oracle_sql() -> dict[str, str]:
           WHERE round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
                 THEN len(list_intersect(sa.s, sb.s)) * 1.0
                      / len(list_distinct(list_concat(sa.s, sb.s)))
-                ELSE 0.0 END, 6) >= 0.5),
+                ELSE 0.0 END, 6) >= 0.5)"""
+    minhash_dedup_sql = f"""
+        WITH {_mh_pairs_cte},
         losers AS (SELECT DISTINCT id_b AS doc_id FROM ver)
         SELECT d.doc_id FROM documents d ANTI JOIN losers USING (doc_id)
+    """
+    # connected components over the verified pair graph: transitive
+    # closure (recursive CTE; near-dup components are tiny) -> each
+    # vertex labeled with the min reachable id, mirroring the Spark
+    # min-label propagation exactly
+    dup_clusters_sql = f"""
+        WITH RECURSIVE {_mh_pairs_cte},
+        sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+        reach AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
     """
     # incremental variant: NEW batch (odd ids) vs CORPUS (even ids);
     # only new x corpus collisions verified, mirroring the operator
@@ -1002,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup": minhash_dedup_sql,
         "minhash_incremental": minhash_incremental_sql,
+        "dup_clusters": dup_clusters_sql,
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN CAST(('0x' || substring(

@@ -209,3 +209,31 @@ def test_incremental_dedup_empty_new_batch(spark):
                                    ["doc_id", "text"])
     new = corpus.filter("doc_id < 0")
     assert minhash_dedup_incremental(new, corpus).count() == 0
+
+
+def test_dup_clusters_components(spark):
+    """Planted graph: a 4-chain (1-2-3-4), a separate pair (10-11),
+    and a triangle (20-21-22) — every vertex gets the min id of its
+    component; transitivity holds across non-adjacent chain ends."""
+    from vision_parse_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"])
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 40-vertex path needs ~log2(40) doubling rounds under plain
+    neighbor-min propagation; the loop's convergence check must carry
+    it to a single component without hitting max_iter."""
+    from vision_parse_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    rows = dup_clusters(pairs).collect()
+    assert len(rows) == 41
+    assert {r.cluster_id for r in rows} == {0}

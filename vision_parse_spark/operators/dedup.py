@@ -368,6 +368,80 @@ def minhash_dedup_portable(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph:
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum doc
+    id reachable in the component — the canonical dedup-clustering
+    step (pick one representative per cluster, or weight by cluster
+    size).
+
+    Spark-idiomatic iterative min-label propagation WITH pointer
+    jumping: each round every vertex takes the min of its own and its
+    neighbors' labels (one join + one aggregation), then shortcuts
+    label[v] = label[label[v]] (one self-join) — the path-halving step
+    that turns O(diameter) propagation into O(log diameter) rounds
+    (a bare neighbor-min walk moves the min ONE hop per round and
+    stalls on long chains).  The driver loop is control-plane only
+    (a bounded convergence check per round); ``localCheckpoint``
+    truncates the growing lineage each round.
+
+    Output covers every vertex that appears in at least one pair
+    (singletons never enter the graph)."""
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        merged = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"),
+                    F.coalesce(F.col("_nmin"), F.col("cluster_id")))
+            .alias("cluster_id"),
+        )
+        new_labels = (
+            merged.alias("x")
+            .join(merged.select(F.col("doc_id").alias("_lid"),
+                                F.col("cluster_id").alias("_lcl"))
+                  .alias("y"),
+                  F.col("x.cluster_id") == F.col("y._lid"), "left")
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.coalesce(F.col("y._lcl"), F.col("x.cluster_id"))
+                .alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.cluster_id != o.cluster_id")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,
