@@ -309,6 +309,22 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def _q_scrub_pii(spark, sf_dir):
+    # PII redaction (emails/IPs/digit-runs/tokens) as a narrow
+    # codegen'd regexp_replace chain; patterns restricted to
+    # constructs with identical Java-regex/RE2 semantics, so DuckDB
+    # replays the chain verbatim.  The documents corpus carries no
+    # PII-shaped text, so this contract hash proves the NO-FALSE-
+    # POSITIVE side (both engines leave 5k real texts byte-identical);
+    # the redaction side is pytest-proven cross-engine on planted PII
+    # (tests/test_scrub.py::test_scrub_matches_duckdb_semantics)
+    from vision_parse_spark.functions.scrub import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_pii(d.select("doc_id", "text")) \
+        .select("doc_id", F.md5("text").alias("scrubbed_md5"))
+
+
 def _q_hash_split(spark, sf_dir):
     # deterministic train/test assignment: md5-derived key bucket —
     # stable across runs/engines/cluster sizes (randomSplit is none of
@@ -586,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "minhash_signature": _q_minhash_signature,
         "hash_split": _q_hash_split,
+        "scrub_pii": _q_scrub_pii,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "simhash16": _q_simhash16,
@@ -608,6 +625,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (same aliases, same rounding)
 # ---------------------------------------------------------------------------
+
+
+def _scrub_sql() -> str:
+    """PII rule chain replayed in DuckDB RE2, generated from the same
+    PII_RULES list the Spark operator applies."""
+    from vision_parse_spark.functions.scrub import PII_RULES
+
+    expr = "text"
+    for pattern, repl in PII_RULES:
+        # standard SQL single-quoted literals pass backslashes through
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return f"SELECT doc_id, md5({expr}) AS scrubbed_md5 FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1039,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": minhash_dedup_sql,
         "minhash_incremental": minhash_incremental_sql,
         "dup_clusters": dup_clusters_sql,
+        "scrub_pii": _scrub_sql(),
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN CAST(('0x' || substring(
