@@ -33,12 +33,20 @@ from .functions.pdf import (
     extract_pdf_text,
     make_pdf_bytes,
 )
+from .functions.scrub import scrub_pii
+from .operators.dedup import (
+    dup_clusters,
+    exact_dedup,
+    minhash_dedup,
+    minhash_dedup_incremental,
+)
+from .operators.sampling import hash_sample, with_split
 from .sinks.media import media_table, read_media, write_media
 from .sinks.merge import merge_upsert, merge_write, read_merged, verify_lineage
 from .synth import synth_transcripts_pdf, synth_transcripts_spark
 from .session import get_spark
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "ExtractConfig",
@@ -50,6 +58,13 @@ __all__ = [
     "extract_pdf_pages",
     "extract_pdf_text",
     "make_pdf_bytes",
+    "scrub_pii",
+    "dup_clusters",
+    "exact_dedup",
+    "minhash_dedup",
+    "minhash_dedup_incremental",
+    "hash_sample",
+    "with_split",
     "media_table",
     "read_media",
     "write_media",
