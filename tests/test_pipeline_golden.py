@@ -137,3 +137,44 @@ def test_output_schema_stable(spark):
         "conv_id", "turn_idx", "role", "tool", "ts", "payload_kind",
         "analysis", "markdown", "images", "status", "error",
     ]
+
+
+def test_textless_image_pdf_default_is_reference_faithful(spark):
+    """A PDF whose ONLY content is an embedded image: the reference
+    returns "" without image extraction for textless pages
+    (llm.py:333-334) — default config mirrors that."""
+    import numpy as np
+
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.functions.pdf import make_pdf_bytes
+
+    grad = np.linspace(60, 200, 160).astype(np.uint8)
+    block = np.repeat(np.broadcast_to(grad, (120, 160))[:, :, None],
+                      3, axis=2)
+    payload = make_pdf_bytes([[]], images={0: block}).decode("latin-1")
+    df = spark.createDataFrame([("c", 0, payload)],
+                               ["conv_id", "turn_idx", "text"])
+    r = extract(df, ExtractConfig(image_mode="url")).collect()[0]
+    assert r.status == "empty" and r.markdown == "" and r.images == []
+
+
+def test_textless_images_opt_in_harvests_figures(spark):
+    """cfg.textless_images=True opts scan/image-only payloads into
+    image extraction: the figure is harvested, links append, and the
+    row reports 'ok' (there IS content)."""
+    import numpy as np
+
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.functions.pdf import make_pdf_bytes
+
+    grad = np.linspace(60, 200, 160).astype(np.uint8)
+    block = np.repeat(np.broadcast_to(grad, (120, 160))[:, :, None],
+                      3, axis=2)
+    payload = make_pdf_bytes([[]], images={0: block}).decode("latin-1")
+    df = spark.createDataFrame([("c", 0, payload)],
+                               ["conv_id", "turn_idx", "text"])
+    r = extract(df, ExtractConfig(image_mode="url",
+                                  textless_images=True)).collect()[0]
+    assert r.status == "ok"
+    assert [d["image_url"] for d in r.images] == ["image_1_1.png"]
+    assert "![image_1_1.png](image_1_1.png)" in r.markdown

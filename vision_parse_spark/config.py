@@ -52,6 +52,13 @@ class ExtractConfig:
     # detections on the synthetic corpus) — an explicit speed/recall
     # knob, not a default.
     detection_scale: float = 1.0
+    # the reference returns "" for pages with no detected text WITHOUT
+    # extracting images (llm.py:333-334) — scan-only / image-only
+    # payloads get nothing.  True opts textless payloads into image
+    # extraction anyway (harvesting figures from scans, a training-
+    # data need the reference doesn't serve); rows that then yield
+    # images get status 'ok'.  Default False = reference-faithful.
+    textless_images: bool = False
 
     def validate(self) -> "ExtractConfig":
         if self.image_mode not in (None, "url", "base64"):

@@ -149,7 +149,11 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     images_col: list = [[] for _ in range(n)]
     if cfg.image_mode is not None and images_det.any():
         raw_texts = texts.fillna("")
-        positions = np.flatnonzero(images_det & text_det)
+        # reference parity: textless payloads return "" WITHOUT image
+        # extraction (llm.py:333-334); cfg.textless_images opts them in
+        gate = images_det if cfg.textless_images \
+            else (images_det & text_det)
+        positions = np.flatnonzero(gate)
         md_values = markdown.to_numpy(dtype=object)
         turn_idx_vals = (
             pdf["turn_idx"].to_numpy() if "turn_idx" in pdf else np.zeros(n, dtype=int)
@@ -178,6 +182,8 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 continue
             images_col[pos] = imgs
             if imgs:
+                if not text_det[pos]:
+                    status.iloc[pos] = "ok"  # textless row with images
                 if cfg.image_mode == "url":
                     links = "".join(
                         f"\n\n![{d['image_url']}]({d['image_url']})" for d in imgs
