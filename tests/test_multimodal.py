@@ -234,3 +234,36 @@ def test_audio_features_pipeline(spark):
     bad = audio_features(
         media.filter(F.col("codec") == "jpeg")).collect()
     assert all(r.status == "error" for r in bad)
+
+
+def test_video_features_motion(spark):
+    """A static clip has ~zero motion; an alternating clip has high
+    motion; non-video payloads error-as-data."""
+    from vision_parse_spark.operators.multimodal import (
+        VIDEO_FEATURES_SCHEMA,
+        video_features,
+    )
+
+    h = w = 8
+    nf = 9
+    static = bytes([100]) * (nf * h * w * 3)
+    frames = []
+    for i in range(nf):
+        frames.append(bytes([0 if i % 2 else 200]) * (h * w * 3))
+    moving = b"".join(frames)
+    media = spark.createDataFrame(
+        [(0, "video", "raw-frames", bytearray(static), w, h, nf),
+         (1, "video", "raw-frames", bytearray(moving), w, h, nf),
+         (2, "video", "raw-frames", bytearray(b"short"), w, h, nf)],
+        "media_id long, kind string, codec string, payload binary,"
+        " width int, height int, n_frames int")
+    rows = {r.media_id: r for r in video_features(media, every=1).collect()}
+    assert rows[0].status == "ok" and rows[0].motion == 0.0
+    assert rows[0].mean_luma == 100.0
+    assert rows[1].status == "ok" and rows[1].motion == 200.0
+    assert rows[1].n_sampled == 9
+    assert rows[2].status == "error"
+    # stride sampling: every=2 picks the even (identical) frames only
+    strided = {r.media_id: r
+               for r in video_features(media, every=2).collect()}
+    assert strided[1].n_sampled == 5 and strided[1].motion == 0.0

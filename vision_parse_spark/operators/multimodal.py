@@ -327,6 +327,69 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_sampled", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("motion", DoubleType(), True),
+        StructField("status", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def video_features(media: DataFrame, every: int = 3) -> DataFrame:
+    """Frame-sampled features over raw-frames video payloads: mean
+    luma and MOTION (mean abs luma delta between consecutive sampled
+    frames — the cheap scene-activity proxy a curation pipeline
+    filters on).  Same error-as-data contract as image/audio
+    features; decode is per-entity inside the Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, h, w, nf in zip(
+                pdf["media_id"], pdf["payload"], pdf["height"],
+                pdf["width"], pdf["n_frames"],
+            ):
+                row = {
+                    "media_id": int(mid), "n_frames": None,
+                    "n_sampled": None, "width": None, "height": None,
+                    "mean_luma": None, "motion": None,
+                    "status": "ok", "error": None,
+                }
+                try:
+                    frames = sample_frames(bytes(payload), int(h), int(w),
+                                           int(nf), every=every)
+                    if not frames:
+                        raise ValueError("no frames")
+                    lumas = [f.astype(np.float64).mean(axis=2)
+                             for f in frames]
+                    row["n_frames"] = int(nf)
+                    row["n_sampled"] = len(frames)
+                    row["height"], row["width"] = frames[0].shape[:2]
+                    row["mean_luma"] = float(np.mean(lumas))
+                    row["motion"] = float(np.mean([
+                        np.abs(lumas[i + 1] - lumas[i]).mean()
+                        for i in range(len(lumas) - 1)
+                    ])) if len(lumas) > 1 else 0.0
+                except Exception as e:
+                    row["status"] = "error"
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_FEATURES_SCHEMA.fields])
+
+    return media.select("media_id", "payload", "height", "width",
+                        "n_frames").mapInPandas(
+        run, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
 def make_wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
     """16-bit PCM RIFF/WAVE writer (tests + synth): samples float in
     [-1, 1], shape (n,) or (n, channels)."""
