@@ -354,3 +354,31 @@ def test_ascii85_filter():
         + b" /Filter /ASCII85Decode >>\nstream\n" + payload
         + b"\nendstream\nendobj\n")
     assert extract_pdf_text(pdf) == "eightyfive"
+
+
+def test_inline_image_flate_and_raw():
+    """BI/ID/EI inline images (spec 8.9.7) with abbreviated keys:
+    Flate RGB and raw gray both surface to the image channel."""
+    import zlib
+
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import extract_pdf_images
+
+    rgb = (np.arange(10 * 12 * 3) % 251).astype(np.uint8).reshape(10, 12, 3)
+    gray = (np.arange(6 * 8) % 253).astype(np.uint8).reshape(6, 8)
+    comp = zlib.compress(rgb.tobytes())
+    stream = (b"BT (t) Tj ET\n"
+              b"q BI /W 12 /H 10 /CS /RGB /BPC 8 /F /Fl ID " + comp
+              + b" EI Q\n"
+              b"q BI /W 8 /H 6 /CS /G /BPC 8 ID " + gray.tobytes()
+              + b" EI Q")
+    pdf = _mini_pdf(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n")
+    ims = extract_pdf_images(pdf)
+    assert [(p, n, a.shape) for p, n, a in ims] == [
+        (0, "Inline0", (10, 12, 3)), (0, "Inline1", (6, 8))]
+    assert np.array_equal(ims[0][2], rgb)
+    assert np.array_equal(ims[1][2], gray)

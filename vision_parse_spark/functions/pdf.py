@@ -782,6 +782,62 @@ def extract_pdf_text(data: bytes, page_sep: str = "\n\n") -> str:
     return page_sep.join(extract_pdf_pages(data))
 
 
+_INLINE_BI_RE = re.compile(rb"\bBI\b(.*?)\bID[ \r\n]", re.S)
+
+
+def _inline_images(content: bytes) -> list[np.ndarray]:
+    """Inline images (``BI <dict> ID <data> EI``, spec 8.9.7) in one
+    content stream.  Supports the abbreviated keys real producers
+    emit: /W /H /BPC /CS (/RGB /G) /F (/Fl /AHx), 8-bit samples,
+    uncompressed or Flate or ASCIIHex data."""
+    out: list[np.ndarray] = []
+    for m in _INLINE_BI_RE.finditer(content):
+        head = m.group(1)
+
+        def _int(keys: bytes) -> int | None:
+            km = re.search(rb"/(?:" + keys + rb")\s+(\d+)", head)
+            return int(km.group(1)) if km else None
+
+        w = _int(b"W|Width")
+        h = _int(b"H|Height")
+        bpc = _int(b"BPC|BitsPerComponent") or 8
+        if not (w and h) or bpc != 8:
+            continue
+        if re.search(rb"/CS\s*/(RGB|DeviceRGB)|/ColorSpace\s*/DeviceRGB",
+                     head):
+            ch = 3
+        elif re.search(rb"/CS\s*/(G|DeviceGray)|/ColorSpace\s*/DeviceGray",
+                       head) or not re.search(rb"/CS|/ColorSpace", head):
+            ch = 1
+        else:
+            continue
+        s = m.end()
+        need = w * h * ch
+        fm = re.search(rb"/F\s*/(\w+)|/Filter\s*/(\w+)", head)
+        filt = (fm.group(1) or fm.group(2)) if fm else None
+        try:
+            if filt in (b"Fl", b"FlateDecode"):
+                d = zlib.decompressobj()
+                raw = d.decompress(content[s:], need)
+                if len(raw) < need:
+                    continue
+            elif filt in (b"AHx", b"ASCIIHexDecode"):
+                hx = re.sub(rb"\s", b"",
+                            content[s:].split(b">", 1)[0])
+                raw = bytes.fromhex(hx.decode("latin-1"))
+            elif filt is None:
+                raw = content[s:s + need]
+            else:
+                continue
+        except (zlib.error, ValueError):
+            continue
+        if len(raw) < need:
+            continue
+        arr = np.frombuffer(raw[:need], dtype=np.uint8)
+        out.append(arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w))
+    return out
+
+
 def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
     """Embedded raster images: ``(page_idx, name, HxWxC uint8 array)``
     per /XObject /Image with Flate gray/RGB/RGBA 8-bit samples (the
@@ -792,6 +848,8 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
     objs, order = _parse(data)
     out: list[tuple[int, str, np.ndarray]] = []
     for page_idx, p in enumerate(order):
+        for k, arr in enumerate(_inline_images(_page_content(objs, p))):
+            out.append((page_idx, f"Inline{k}", arr))
         res = _resources_dict(objs, p)
         for name, num in sorted(_named_refs(res, b"XObject").items()):
             obj = objs.get(num)
