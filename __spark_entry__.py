@@ -309,6 +309,15 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher/RefinedWeb-style repetition signals (dup-line fraction,
+    # top-bigram fraction) — integer counting, final int/int division
+    # rounded to 6, fully replayable in DuckDB
+    from vision_parse_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_scrub_pii(spark, sf_dir):
     # PII redaction (emails/IPs/digit-runs/tokens) as a narrow
     # codegen'd regexp_replace chain; patterns restricted to
@@ -603,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash_signature,
         "hash_split": _q_hash_split,
         "scrub_pii": _q_scrub_pii,
+        "repetition_stats": _q_repetition_stats,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "simhash16": _q_simhash16,
@@ -1069,6 +1079,41 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": minhash_incremental_sql,
         "dup_clusters": dup_clusters_sql,
         "scrub_pii": _scrub_sql(),
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split(text, chr(10)), x -> trim(x)),
+                       x -> x != '') AS lines,
+                     list_filter(string_split_regex(lower(trim(text)),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            wl AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines,
+                     CASE WHEN len(lines) > 0
+                          THEN round(1 - len(list_distinct(lines)) * 1.0
+                                     / len(lines), 6)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2])
+                          ELSE [] END AS bigrams
+              FROM base),
+            pg AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (SELECT doc_id, unnest(bigrams) AS bg FROM wl)
+              GROUP BY doc_id, bg),
+            per_doc AS (
+              SELECT doc_id, max(c) AS top, sum(c) AS nb
+              FROM pg GROUP BY doc_id)
+            SELECT wl.doc_id, n_lines, dup_line_frac,
+                   CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN coalesce(nb, 0) > 0
+                        THEN round(top * 1.0 / nb, 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM wl LEFT JOIN per_doc USING (doc_id)
+        """,
         "hash_split": """
             SELECT doc_id,
                    CASE WHEN CAST(('0x' || substring(

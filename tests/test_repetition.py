@@ -1,0 +1,50 @@
+"""Repetition filters: planted repeaters vs clean prose."""
+
+from vision_parse_spark.operators.repetition import (
+    repetition_filter,
+    repetition_stats,
+)
+
+
+def _stats(spark, text):
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    return repetition_stats(df).first()
+
+
+def test_line_spam_detected(spark):
+    spam = "\n".join(["BUY NOW cheap deals"] * 9 + ["one real line"])
+    r = _stats(spark, spam)
+    assert r.n_lines == 10
+    assert abs(r.dup_line_frac - 0.8) < 1e-9  # 10 lines, 2 distinct
+
+
+def test_keyword_stuffing_detected(spark):
+    stuffed = "best price " * 30 + "contact us"
+    r = _stats(spark, stuffed)
+    assert r.top_bigram_frac > 0.4
+
+
+def test_clean_prose_scores_low(spark):
+    clean = ("The quick brown fox jumps over the lazy dog.\n"
+             "Pack my box with five dozen liquor jugs.\n"
+             "How vexingly quick daft zebras jump.")
+    r = _stats(spark, clean)
+    assert r.dup_line_frac == 0.0
+    assert r.top_bigram_frac < 0.15
+
+
+def test_empty_and_single_token(spark):
+    for text in ["", "   \n  ", "word"]:
+        r = _stats(spark, text)
+        assert r.dup_line_frac == 0.0 and r.top_bigram_frac == 0.0
+        assert r.n_bigrams == 0
+
+
+def test_filter_drops_repeaters_keeps_prose(spark):
+    df = spark.createDataFrame(
+        [(0, "spam line\n" * 10),
+         (1, "A perfectly normal paragraph with varied words here."),
+         (2, "buy buy buy buy buy buy buy buy buy buy")],
+        ["doc_id", "text"])
+    kept = {r.doc_id for r in repetition_filter(df).collect()}
+    assert kept == {1}
