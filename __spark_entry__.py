@@ -309,6 +309,17 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+def _q_curate(spark, sf_dir):
+    # the full curation composition: quality gate -> repetition gate
+    # -> MinHash near-dedup -> PII scrub.  Every stage is individually
+    # oracled; this query proves the COMPOSITION end to end (DuckDB
+    # replays all four stages and the semi-join structure).
+    from vision_parse_spark.operators.curation import curate
+
+    return curate(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("scrubbed_md5"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher/RefinedWeb-style repetition signals (dup-line fraction,
     # top-bigram fraction) — integer counting, final int/int division
@@ -613,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "scrub_pii": _q_scrub_pii,
         "repetition_stats": _q_repetition_stats,
+        "curate": _q_curate,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "simhash16": _q_simhash16,
@@ -849,7 +861,7 @@ def oracle_sql() -> dict[str, str]:
                a.lang AS lang
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     """
-    return {
+    out = {
         "extract_markdown": extract_join,
         "extract_stats": f"""
             SELECT payload_kind, status, count(*) AS n_turns,
@@ -1277,3 +1289,22 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 3
         """,
     }
+    # the curation COMPOSITION, assembled from the stage oracles above
+    # (each CTE body is a full SELECT, so the nested WITH of the dedup
+    # pipeline is legal inside its CTE)
+    out["curate"] = f"""
+        WITH qual AS (
+          SELECT doc_id FROM ({out['quality_score']})
+          WHERE quality_e4 >= 5000),
+        rep AS (
+          SELECT doc_id FROM ({out['repetition_stats']})
+          WHERE dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2),
+        survivors AS ({minhash_dedup_sql}),
+        scrubbed AS ({out['scrub_pii']})
+        SELECT s.doc_id, s.scrubbed_md5
+        FROM scrubbed s
+        JOIN qual USING (doc_id)
+        JOIN rep USING (doc_id)
+        JOIN survivors USING (doc_id)
+    """
+    return out

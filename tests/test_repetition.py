@@ -48,3 +48,23 @@ def test_filter_drops_repeaters_keeps_prose(spark):
         ["doc_id", "text"])
     kept = {r.doc_id for r in repetition_filter(df).collect()}
     assert kept == {1}
+
+
+def test_curate_composition(spark):
+    """curate() drops the low-quality, the repeater, and the near-dup
+    while scrubbing PII from survivors."""
+    from vision_parse_spark.operators.curation import curate
+
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "rests in the shade of a tall tree for a while. "
+            "It is a calm afternoon in the forest and the animals "
+            "are quiet. ")
+    df = spark.createDataFrame(
+        [(0, good + "Contact admin@example.com for details."),
+         (1, good + "Contact admin@example.com for more details."),  # near-dup of 0
+         (2, "spam line\n" * 12),                                    # repeater
+         (3, "x")],                                                  # low quality
+        ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in curate(df).collect()}
+    assert set(out) == {0}
+    assert "<EMAIL>" in out[0] and "admin@example.com" not in out[0]

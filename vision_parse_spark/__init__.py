@@ -40,6 +40,8 @@ from .operators.dedup import (
     minhash_dedup,
     minhash_dedup_incremental,
 )
+from .operators.curation import curate
+from .operators.repetition import repetition_filter, repetition_stats
 from .operators.sampling import hash_sample, with_split
 from .sinks.media import media_table, read_media, write_media
 from .sinks.merge import merge_upsert, merge_write, read_merged, verify_lineage
@@ -63,6 +65,9 @@ __all__ = [
     "exact_dedup",
     "minhash_dedup",
     "minhash_dedup_incremental",
+    "curate",
+    "repetition_filter",
+    "repetition_stats",
     "hash_sample",
     "with_split",
     "media_table",

@@ -1,0 +1,80 @@
+"""End-to-end corpus curation — the composition the engine exists for.
+
+One call chains the canonical training-data gates in their standard
+order (cheap narrow filters first, the shuffling dedup last, the
+rewrite at the end):
+
+    quality gate        narrow Catalyst (length + stopword ratio)
+      -> repetition gate  dup-line / top-bigram fractions
+      -> near-dedup       MinHash+LSH survivor set
+      -> PII scrub        regexp_replace chain on the survivors
+
+Every stage is individually oracled (`quality_score`,
+`repetition_stats`, `minhash_dedup`, `scrub_pii` contract queries);
+``curate`` is their composition and is oracled as such — DuckDB
+replays the full pipeline end to end.
+
+Scale notes: the two filter gates are semi-joins against narrow
+aggregates that prune the corpus BEFORE the LSH shuffle (the only
+heavy exchange); the scrub is a codegen'd Project over survivors
+only.  Filter order is the plan: cheap-and-selective first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scrub import scrub_pii
+from .dedup import minhash_dedup_portable
+from .repetition import repetition_stats
+
+
+def quality_e4_col(text_col: str = "text") -> Column:
+    """Quality score in 1e-4 units as a LONG (floor keeps the value
+    bit-identical across engines; round() differs at half-way points).
+    Same construction as the `quality_score` contract query."""
+    n_tok = F.size(F.regexp_extract_all(text_col,
+                                        F.lit("[A-Za-z0-9]+"), 0))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower(text_col),
+        F.lit(r"\b(?:the|a|an|and|or|of|to|in|is|it)\b"), 0))
+    len_ok = F.least(F.length(text_col) / 200.0, F.lit(1.0))
+    stop_ok = F.least(n_stop / n_tok / 0.2, F.lit(1.0))
+    return F.floor((len_ok * 0.5 + stop_ok * 0.5) * 10000).cast("long")
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_e4: int = 5000,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Curated corpus: (id, scrubbed text) for documents passing the
+    quality, repetition, and near-dup gates."""
+    n_tok = F.size(F.regexp_extract_all(text_col,
+                                        F.lit("[A-Za-z0-9]+"), 0))
+    qual = (
+        df.filter(n_tok > 0)
+        .filter(quality_e4_col(text_col) >= min_quality_e4)
+        .select(id_col)
+    )
+    rep = (
+        repetition_stats(df, id_col, text_col)
+        .filter((F.col("dup_line_frac") <= max_dup_line_frac)
+                & (F.col("top_bigram_frac") <= max_top_bigram_frac))
+        .select(id_col)
+    )
+    survivors = minhash_dedup_portable(
+        df.select(id_col, text_col),
+        jaccard_threshold=jaccard_threshold,
+    ).select(id_col)
+    return (
+        scrub_pii(df.select(id_col, text_col), text_col)
+        .join(qual, id_col, "left_semi")
+        .join(rep, id_col, "left_semi")
+        .join(survivors, id_col, "left_semi")
+    )
