@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     # (both oracled) so regressions across operator classes are visible
     "chunk_documents",
     "embedding_near_dups",
+    # the end-to-end curation composition (Arrow dedup twin)
+    "curate",
 ]
 
 
@@ -87,9 +89,38 @@ def _q_embedding_near_dups_fast(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def _q_curate_fast(spark, sf_dir):
+    """Throughput twin of the contract's curate composition: same
+    quality/repetition gates and PII scrub, with the dedup stage on
+    the Arrow signature path (minhash_dedup) instead of the portable
+    construction — the stage twins' set-equality is pytest-asserted,
+    so the compositions agree."""
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark.functions.scrub import scrub_pii
+    from vision_parse_spark.operators.curation import quality_e4_col
+    from vision_parse_spark.operators.dedup import minhash_dedup
+    from vision_parse_spark.operators.repetition import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+    qual = d.filter(n_tok > 0) \
+        .filter(quality_e4_col() >= 5000).select("doc_id")
+    rep = repetition_stats(d).filter(
+        (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_bigram_frac") <= 0.2)).select("doc_id")
+    surv = minhash_dedup(d).select("doc_id")
+    return (scrub_pii(d)
+            .join(qual, "doc_id", "left_semi")
+            .join(rep, "doc_id", "left_semi")
+            .join(surv, "doc_id", "left_semi"))
+
+
 BENCH_OVERRIDES = {
     "minhash_dedup": _q_minhash_dedup_fast,
     "embedding_near_dups": _q_embedding_near_dups_fast,
+    "curate": _q_curate_fast,
 }
 
 
