@@ -320,6 +320,15 @@ def _q_curate(spark, sf_dir):
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
 
+def _q_pack_contexts(spark, sf_dir):
+    # sequence packing (concatenate-and-cut): window cumsum over the
+    # id-ordered token stream -> bin/offset; pure window arithmetic,
+    # integer-only, replayed exactly in DuckDB
+    from vision_parse_spark.operators.chunking import pack_contexts
+
+    return pack_contexts(_t(spark, sf_dir, "documents"), capacity=2048)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher/RefinedWeb-style repetition signals (dup-line fraction,
     # top-bigram fraction) — integer counting, final int/int division
@@ -625,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
+        "pack_contexts": _q_pack_contexts,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "simhash16": _q_simhash16,
@@ -1091,6 +1101,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": minhash_incremental_sql,
         "dup_clusters": dup_clusters_sql,
         "scrub_pii": _scrub_sql(),
+        "pack_contexts": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text),
+                         '\\s+'), x -> x != '')) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start
+              FROM base)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor(start / 2048) AS BIGINT) AS bin_id,
+                   CAST(start % 2048 AS BIGINT) AS bin_offset
+            FROM cum
+        """,
         "repetition_stats": """
             WITH base AS (
               SELECT doc_id,

@@ -50,3 +50,31 @@ def test_invalid_overlap_rejected(spark, docs):
 def test_plan_is_narrow(spark, docs):
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # Generate only, no shuffle
+
+
+def test_pack_contexts_layout(spark):
+    """Docs of 30/50/40/100 tokens at capacity 64: the virtual stream
+    cuts reproduce exactly (doc 2 straddles the first boundary)."""
+    from vision_parse_spark.operators.chunking import pack_contexts
+
+    docs = [(1, "w " * 30), (2, "x " * 50), (3, "y " * 40),
+            (4, "z " * 100)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+           for r in pack_contexts(df, capacity=64).collect()}
+    assert got == {
+        1: (30, 0, 0),    # starts stream
+        2: (50, 0, 30),   # starts in bin 0, straddles into bin 1
+        3: (40, 1, 16),   # 80 % 64
+        4: (100, 1, 56),  # 120 % 64
+    }
+
+
+def test_pack_contexts_deterministic_across_partitionings(spark):
+    from vision_parse_spark.operators.chunking import pack_contexts
+
+    df = spark.range(500).selectExpr(
+        "id as doc_id", "repeat('t ', cast(id % 37 + 1 as int)) as text")
+    a = {tuple(r) for r in pack_contexts(df.repartition(3)).collect()}
+    b = {tuple(r) for r in pack_contexts(df.repartition(11)).collect()}
+    assert a == b

@@ -53,3 +53,34 @@ def chunk_documents(
             F.size(F.split("chunk_text", " "))
         ).cast("int"),
     )
+
+
+def pack_contexts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Sequence packing (concatenate-and-cut): assign each document a
+    position in a virtual token stream ordered by ``id_col``, then cut
+    the stream into ``capacity``-token contexts — the standard
+    pretraining packing where documents may straddle a boundary.
+
+    Returns (id, n_tokens, bin_id, bin_offset): the context the doc
+    STARTS in and its offset there.  One window cumsum (a single
+    range-partitioned exchange at scale); deterministic given the id
+    order, so the layout is reproducible across runs and engines.
+    """
+    toks = F.expr(
+        f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x != ''))"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    base = df.select(id_col, toks.alias("n_tokens"))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col, "n_tokens",
+        F.floor(start / capacity).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(capacity)).cast("long").alias("bin_offset"),
+    )
