@@ -659,7 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _scrub_sql() -> str:
+def _scrub_sql(src: str = "documents") -> str:
     """PII rule chain replayed in DuckDB RE2, generated from the same
     PII_RULES list the Spark operator applies."""
     from vision_parse_spark.functions.scrub import PII_RULES
@@ -668,7 +668,7 @@ def _scrub_sql() -> str:
     for pattern, repl in PII_RULES:
         # standard SQL single-quoted literals pass backslashes through
         expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
-    return f"SELECT doc_id, md5({expr}) AS scrubbed_md5 FROM documents"
+    return f"SELECT doc_id, md5({expr}) AS scrubbed_md5 FROM {src}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -709,11 +709,13 @@ def oracle_sql() -> dict[str, str]:
         for k in range(32)
     )
     # shared CTE chain up to the verified near-dup pair set; reused by
-    # the survivor query (minhash_dedup) and the clustering query
-    # (dup_clusters)
-    _mh_pairs_cte = f"""toks AS (
+    # the survivor query (minhash_dedup), the clustering query
+    # (dup_clusters), and — over the gate-surviving subset — the
+    # curation composition (gate-first semantics)
+    def _mh_pairs_cte(src: str = "documents") -> str:
+        return f"""toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-          FROM documents),
+          FROM {src}),
         sh AS (
           SELECT doc_id,
                  CASE WHEN len(t) >= 3
@@ -752,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(list_concat(sa.s, sb.s)))
                 ELSE 0.0 END, 6) >= 0.5)"""
     minhash_dedup_sql = f"""
-        WITH {_mh_pairs_cte},
+        WITH {_mh_pairs_cte()},
         losers AS (SELECT DISTINCT id_b AS doc_id FROM ver)
         SELECT d.doc_id FROM documents d ANTI JOIN losers USING (doc_id)
     """
@@ -761,7 +763,7 @@ def oracle_sql() -> dict[str, str]:
     # vertex labeled with the min reachable id, mirroring the Spark
     # min-label propagation exactly
     dup_clusters_sql = f"""
-        WITH RECURSIVE {_mh_pairs_cte},
+        WITH RECURSIVE {_mh_pairs_cte()},
         sym AS (SELECT id_a AS a, id_b AS b FROM ver
                 UNION SELECT id_b, id_a FROM ver),
         reach AS (
@@ -1318,7 +1320,11 @@ def oracle_sql() -> dict[str, str]:
     }
     # the curation COMPOSITION, assembled from the stage oracles above
     # (each CTE body is a full SELECT, so the nested WITH of the dedup
-    # pipeline is legal inside its CTE)
+    # pipeline is legal inside its CTE).  GATE-FIRST semantics, exactly
+    # as the Spark operator composes: quality+repetition gates prune
+    # the corpus, the LSH dedup replay runs over the GATED subset (so
+    # the cluster representative is the min id among gate survivors),
+    # and the scrub is replayed over the dedup survivors.
     out["curate"] = f"""
         WITH qual AS (
           SELECT doc_id FROM ({out['quality_score']})
@@ -1326,12 +1332,15 @@ def oracle_sql() -> dict[str, str]:
         rep AS (
           SELECT doc_id FROM ({out['repetition_stats']})
           WHERE dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2),
-        survivors AS ({minhash_dedup_sql}),
-        scrubbed AS ({out['scrub_pii']})
-        SELECT s.doc_id, s.scrubbed_md5
-        FROM scrubbed s
-        JOIN qual USING (doc_id)
-        JOIN rep USING (doc_id)
-        JOIN survivors USING (doc_id)
+        gated AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN qual USING (doc_id)
+          JOIN rep USING (doc_id)),
+        {_mh_pairs_cte('gated')},
+        losers AS (SELECT DISTINCT id_b AS doc_id FROM ver),
+        surv AS (
+          SELECT g.doc_id, g.text FROM gated g
+          ANTI JOIN losers USING (doc_id))
+        SELECT doc_id, scrubbed_md5 FROM ({_scrub_sql('surv')})
     """
     return out

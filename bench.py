@@ -51,8 +51,14 @@ BENCH_QUERIES = [
     # (both oracled) so regressions across operator classes are visible
     "chunk_documents",
     "embedding_near_dups",
-    # the end-to-end curation composition (Arrow dedup twin)
+    # the end-to-end curation composition (gate-first, Arrow dedup —
+    # the production path IS the contract path since round 4)
     "curate",
+    # round 4: the remaining operator classes — distributed prefix-sum
+    # packing, explode-agg repetition signals, iterative CC joins
+    "pack_contexts",
+    "repetition_stats",
+    "dup_clusters",
 ]
 
 
@@ -89,38 +95,28 @@ def _q_embedding_near_dups_fast(spark, sf_dir):
         .select("id_a", "id_b")
 
 
-def _q_curate_fast(spark, sf_dir):
-    """Throughput twin of the contract's curate composition: same
-    quality/repetition gates and PII scrub, with the dedup stage on
-    the Arrow signature path (minhash_dedup) instead of the portable
-    construction — the stage twins' set-equality is pytest-asserted,
-    so the compositions agree."""
-    from pyspark.sql import functions as F
-
-    from vision_parse_spark.functions.scrub import scrub_pii
-    from vision_parse_spark.operators.curation import quality_e4_col
-    from vision_parse_spark.operators.dedup import minhash_dedup
-    from vision_parse_spark.operators.repetition import repetition_stats
+def _q_dup_clusters_fast(spark, sf_dir):
+    """Throughput twin of the contract's dup_clusters: the same
+    min-label-propagation + pointer-jumping clustering, fed by the
+    Arrow-path LSH pairs (minhash_lsh_pairs) instead of the portable
+    md5 construction (which drags shingle arrays through the bucket
+    join and exists only for the DuckDB replay)."""
+    from vision_parse_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    n_tok = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
-    qual = d.filter(n_tok > 0) \
-        .filter(quality_e4_col() >= 5000).select("doc_id")
-    rep = repetition_stats(d).filter(
-        (F.col("dup_line_frac") <= 0.3)
-        & (F.col("top_bigram_frac") <= 0.2)).select("doc_id")
-    surv = minhash_dedup(d).select("doc_id")
-    return (scrub_pii(d)
-            .join(qual, "doc_id", "left_semi")
-            .join(rep, "doc_id", "left_semi")
-            .join(surv, "doc_id", "left_semi"))
+    return dup_clusters(minhash_lsh_pairs(d)).select("doc_id", "cluster_id")
 
 
 BENCH_OVERRIDES = {
     "minhash_dedup": _q_minhash_dedup_fast,
     "embedding_near_dups": _q_embedding_near_dups_fast,
-    "curate": _q_curate_fast,
+    "dup_clusters": _q_dup_clusters_fast,
+    # curate: no override since round 4 — the production composition
+    # (gate-first, Arrow dedup) is what the contract query runs
 }
 
 

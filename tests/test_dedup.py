@@ -132,6 +132,25 @@ def test_portable_and_fast_minhash_survivors_agree(spark):
     assert fast == portable
 
 
+def test_portable_and_fast_minhash_agree_on_gated_subset(spark):
+    """Same equality over an arbitrary SUBSET of the corpus — the
+    property curate() relies on since round 4 (production composition
+    runs the Arrow path over gate survivors, the DuckDB oracle replays
+    the portable construction over the same gated set)."""
+    from vision_parse_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_portable,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").filter("doc_id % 4 != 1")
+    fast = {r[0] for r in minhash_dedup(docs).select("doc_id").collect()}
+    portable = {r[0] for r in
+                minhash_dedup_portable(docs).select("doc_id").collect()}
+    assert fast == portable
+
+
 def test_simhash_production_equals_portable(spark, docs):
     """Round-3 unification: the Arrow-vectorized production SimHash and
     the Catalyst portable construction are ONE construction — same md5
@@ -200,6 +219,29 @@ def test_incremental_dedup_drops_corpus_matches(spark):
            minhash_dedup_incremental(new, corpus,
                                      jaccard_threshold=0.5).collect()}
     assert out == {3}
+
+
+def test_incremental_dedup_within_batch_flag(spark):
+    """dedup_within_batch=True also removes near-dup pairs INSIDE the
+    new batch (min-id survives), so the result is safe to append to
+    the corpus (ADVICE r3)."""
+    from vision_parse_spark.operators.dedup import minhash_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(3, "a genuinely novel document about parquet bucketing"),
+         (5, "a genuinely novel document about parquet bucketing"),
+         (7, "unrelated second novel text on arrow batch sizing")],
+        ["doc_id", "text"])
+    default = {r.doc_id for r in
+               minhash_dedup_incremental(new, corpus).collect()}
+    assert default == {3, 5, 7}  # documented: batch not self-deduped
+    deduped = {r.doc_id for r in
+               minhash_dedup_incremental(
+                   new, corpus, dedup_within_batch=True).collect()}
+    assert deduped == {3, 7}
 
 
 def test_incremental_dedup_empty_new_batch(spark):

@@ -108,6 +108,20 @@ def test_chunking_is_narrow(docs):
     assert "Generate" in p  # posexplode, not a shuffle
 
 
+def test_pack_contexts_no_single_partition_exchange(docs):
+    """The global cumsum must be a distributed two-phase prefix sum —
+    an unpartitioned window would shuffle the whole corpus through ONE
+    task (`Exchange SinglePartition`, the round-3 verdict's verified
+    scale-killer)."""
+    from vision_parse_spark.operators.chunking import pack_contexts
+
+    out = pack_contexts(docs.select("doc_id", "text"))
+    p = plan_of(out)
+    assert "SinglePartition" not in p
+    assert "MapInPandas" in p  # pass B: per-partition Arrow cumsum
+    assert "Window" not in p
+
+
 def test_lsh_near_dup_join_is_not_cartesian(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = plan_of(embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=4))

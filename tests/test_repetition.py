@@ -68,3 +68,25 @@ def test_curate_composition(spark):
     out = {r.doc_id: r.text for r in curate(df).collect()}
     assert set(out) == {0}
     assert "<EMAIL>" in out[0] and "admin@example.com" not in out[0]
+
+
+def test_curate_gate_first_keeps_representative(spark):
+    """Gate-first semantics (round 4): the near-dedup runs over the
+    GATED corpus, so a duplicate cluster whose min-id member fails a
+    gate still keeps one gate-passing representative.  Under the old
+    dedup-first order this cluster would vanish entirely (min-id doc
+    removed by the gate, its duplicate removed by the dedup)."""
+    from vision_parse_spark.operators.curation import curate
+
+    good = ("The quick brown fox jumps over the lazy dog and then "
+            "rests in the shade of a tall tree for a while. "
+            "It is a calm afternoon in the forest and the animals "
+            "are quiet and the birds sing softly in the branches. ")
+    # doc 0: same prose (near-dup of 1) + a repeated-line block that
+    # trips the dup_line_frac gate; doc 1: clean duplicate, passes all
+    df = spark.createDataFrame(
+        [(0, good + ("\nspam line" * 12)),
+         (1, good)],
+        ["doc_id", "text"])
+    out = {r.doc_id for r in curate(df).collect()}
+    assert out == {1}

@@ -263,6 +263,64 @@ def test_upsert_crash_recovery_from_staging(spark, result_df, out_dir):
     assert verify_lineage(spark, out_dir)
 
 
+def test_upsert_crash_recovery_mid_swap(spark, result_df, out_dir):
+    """ADVICE r3 window: crash AFTER a bucket's staged data dir was
+    renamed into place but BEFORE its manifest was installed.  The
+    staged manifest (precomputed from staged bytes, part of the redo
+    log) must let recovery commit the bucket instead of leaving it
+    permanently uncommitted — and a later upsert must not drop its
+    rows."""
+    import shutil
+
+    from vision_parse_spark.sinks.merge import (
+        STAGING_PREFIX, _manifest_path, _stage_manifests, merge_upsert,
+        read_merged, recover_staged, verify_lineage,
+    )
+
+    merge_write(result_df, out_dir, n_buckets=N_BUCKETS)
+    changed = (
+        result_df.filter(F.col("turn_idx") == 1)
+        .withColumn("markdown", F.lit("MIDSWAP"))
+    )
+    n_changed = changed.count()
+    bucket = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(N_BUCKETS)).cast("int")
+    incoming = changed.withColumn("bucket", bucket)
+    upd = sorted(int(r["bucket"]) for r in
+                 incoming.select("bucket").distinct().collect())
+    existing = (spark.read.parquet(out_dir)
+                .filter(F.col("bucket").isin(upd))
+                .select(*incoming.columns))
+    survivors = existing.join(incoming.select("conv_id", "turn_idx"),
+                              on=["conv_id", "turn_idx"], how="left_anti")
+    staging = os.path.join(out_dir, STAGING_PREFIX + "midswap")
+    incoming.unionByName(survivors).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(staging)
+    _stage_manifests(spark, staging, "midswap", N_BUCKETS,
+                     ("conv_id", "turn_idx"), "markdown")
+    with open(os.path.join(staging, "_STAGED"), "w") as f:
+        f.write("midswap")
+
+    # crash mid-swap on the first bucket: data renamed, manifest NOT
+    b0 = upd[0]
+    os.remove(_manifest_path(out_dir, b0))
+    shutil.rmtree(os.path.join(out_dir, f"bucket={b0}"))
+    os.replace(os.path.join(staging, f"bucket={b0}"),
+               os.path.join(out_dir, f"bucket={b0}"))
+
+    swapped = recover_staged(spark, out_dir, n_buckets=N_BUCKETS)
+    assert sorted(swapped) == upd  # b0 committed via its staged manifest
+    back = read_merged(spark, out_dir)
+    assert back.count() == N_TURNS
+    assert back.filter(F.col("markdown") == "MIDSWAP").count() == n_changed
+    assert verify_lineage(spark, out_dir)
+    # a later upsert sees the bucket as committed (no silent row drop)
+    again = merge_upsert(changed.withColumn(
+        "markdown", F.lit("MIDSWAP2")), out_dir, run_id="after",
+        n_buckets=N_BUCKETS)
+    assert sorted(again["updated"]) == upd
+    assert read_merged(spark, out_dir).count() == N_TURNS
+
+
 def test_merge_sink_rejects_remote_paths(result_df):
     """The driver-local purge/manifest IO is honest about its scope:
     URI-scheme paths raise instead of silently no-op'ing the purge."""

@@ -60,6 +60,7 @@ def pack_contexts(
     id_col: str = "doc_id",
     text_col: str = "text",
     capacity: int = 2048,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Sequence packing (concatenate-and-cut): assign each document a
     position in a virtual token stream ordered by ``id_col``, then cut
@@ -67,19 +68,84 @@ def pack_contexts(
     pretraining packing where documents may straddle a boundary.
 
     Returns (id, n_tokens, bin_id, bin_offset): the context the doc
-    STARTS in and its offset there.  One window cumsum (a single
-    range-partitioned exchange at scale); deterministic given the id
-    order, so the layout is reproducible across runs and engines.
+    STARTS in and its offset there.  Deterministic given the id order,
+    so the layout is reproducible across runs and engines.
+
+    Scale design — distributed two-phase prefix sum (the global cumsum
+    MUST NOT be an unpartitioned window, which Spark executes as
+    ``Exchange SinglePartition``: the whole corpus through one task):
+
+    1. ``repartitionByRange(id)`` + ``sortWithinPartitions(id)`` —
+       ONE range exchange; partition *p* holds a contiguous id range
+       and range partitions are index-ordered by key, then
+       ``localCheckpoint`` pins that exact partitioning for both
+       passes (and lets the context cleaner reclaim it on GC, unlike
+       ``persist`` which leaks in the cache manager until unpersist).
+    2. Pass A (tiny): per-partition token totals via a one-row-per-
+       partition ``mapInPandas``; the driver prefix-sums the ≤
+       ``num_partitions`` totals (control-plane sized, like Spark's
+       own range-boundary sampling).
+    3. Pass B: per-partition streaming cumsum in ``mapInPandas`` with
+       each partition's global offset shipped in the closure — no
+       second full-data exchange, no broadcast join, no per-row
+       Python (numpy ``cumsum`` per Arrow batch).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
     toks = F.expr(
         f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x != ''))"
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     base = df.select(id_col, toks.alias("n_tokens"))
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
+    sess = df.sparkSession
+    n_parts = num_partitions or sess.sparkContext.defaultParallelism
+    parted = (
+        base.repartitionByRange(n_parts, id_col)
+        .sortWithinPartitions(id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    def _totals(batches):
+        pid = TaskContext.get().partitionId()
+        total = 0
+        for pdf in batches:
+            total += int(pdf["n_tokens"].sum())
+        yield pd.DataFrame({"pid": [pid], "total": [total]})
+
+    totals = {
+        r["pid"]: r["total"]
+        for r in parted.mapInPandas(_totals, "pid int, total long").collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    out_schema = StructType(
+        [parted.schema[id_col], StructField("n_tokens", parted.schema["n_tokens"].dataType)]
+        + [StructField("_start", LongType())]
+    )
+
+    def _cumsum(batches):
+        pid = TaskContext.get().partitionId()
+        running = offsets.get(pid, 0)
+        for pdf in batches:
+            nt = pdf["n_tokens"].to_numpy(dtype="int64")
+            if len(nt) == 0:
+                continue
+            starts = running + np.concatenate(([0], np.cumsum(nt)[:-1]))
+            running += int(nt.sum())
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "_start": starts,
+            })
+
+    local = parted.mapInPandas(_cumsum, out_schema)
+    start = F.col("_start")
+    return local.select(
         id_col, "n_tokens",
         F.floor(start / capacity).cast("long").alias("bin_id"),
         F.pmod(start, F.lit(capacity)).cast("long").alias("bin_offset"),

@@ -16,8 +16,12 @@ replays the full pipeline end to end.
 
 Scale notes: the two filter gates are semi-joins against narrow
 aggregates that prune the corpus BEFORE the LSH shuffle (the only
-heavy exchange); the scrub is a codegen'd Project over survivors
-only.  Filter order is the plan: cheap-and-selective first.
+heavy exchange) — the dedup stage therefore reads ONLY gate
+survivors, on the Arrow/numpy signature path (``minhash_dedup``, the
+throughput construction; the portable md5 twin exists solely so the
+DuckDB oracle can replay the pipeline — their survivor-set equality
+is pytest-asserted).  The scrub is a codegen'd Project over dedup
+survivors only.  Filter order is the plan: cheap-and-selective first.
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scrub import scrub_pii
-from .dedup import minhash_dedup_portable
+from .dedup import minhash_dedup
 from .repetition import repetition_stats
 
 
@@ -54,7 +58,13 @@ def curate(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Curated corpus: (id, scrubbed text) for documents passing the
-    quality, repetition, and near-dup gates."""
+    quality, repetition, and near-dup gates.
+
+    Gate-first semantics: the near-dedup runs over the GATED corpus,
+    so the duplicate-cluster representative is the min id among
+    gate-passing docs (a cluster whose min-id member fails quality
+    still keeps one surviving representative — the standard
+    filter-then-dedup order)."""
     n_tok = F.size(F.regexp_extract_all(text_col,
                                         F.lit("[A-Za-z0-9]+"), 0))
     qual = (
@@ -68,13 +78,12 @@ def curate(
                 & (F.col("top_bigram_frac") <= max_top_bigram_frac))
         .select(id_col)
     )
-    survivors = minhash_dedup_portable(
-        df.select(id_col, text_col),
-        jaccard_threshold=jaccard_threshold,
-    ).select(id_col)
-    return (
-        scrub_pii(df.select(id_col, text_col), text_col)
+    gated = (
+        df.select(id_col, text_col)
         .join(qual, id_col, "left_semi")
         .join(rep, id_col, "left_semi")
-        .join(survivors, id_col, "left_semi")
     )
+    survivors = minhash_dedup(
+        gated, id_col, text_col, jaccard_threshold=jaccard_threshold,
+    )
+    return scrub_pii(survivors, text_col)

@@ -391,7 +391,10 @@ def dup_clusters(
     truncates the growing lineage each round.
 
     Output covers every vertex that appears in at least one pair
-    (singletons never enter the graph)."""
+    (singletons never enter the graph).  Raises ``RuntimeError`` if
+    ``max_iter`` is exhausted before the labels reach a fixed point."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -438,8 +441,17 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting max_iter without a fixed point means cluster_id may
+    # not be the component minimum — silently returning would let
+    # downstream representative-picking split one duplicate cluster
+    # into several with no signal (ADVICE r3).  Pointer jumping makes
+    # rounds O(log diameter), so 20 covers components of diameter
+    # ~2^20; hitting this is a genuine anomaly, not a tuning knob.
+    raise RuntimeError(
+        f"dup_clusters did not converge within max_iter={max_iter} "
+        f"rounds ({changed} labels still changing); raise max_iter"
+    )
 
 
 def minhash_dedup_incremental(
@@ -451,9 +463,19 @@ def minhash_dedup_incremental(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    dedup_within_batch: bool = False,
 ) -> DataFrame:
     """Incremental near-dedup: the rows of ``new_df`` that do NOT
     near-duplicate any document already in ``corpus_df``.
+
+    NOTE (ADVICE r3): by default only new-vs-corpus collisions are
+    verified — near-duplicate pairs WITHIN the new batch both survive.
+    Before appending the result to the corpus, either pass
+    ``dedup_within_batch=True`` (runs the portable LSH dedup over the
+    survivors, keeping the construction oracle-replayable) or
+    self-dedup the batch upstream; appending an internally-duplicated
+    batch would seed corpus×corpus duplicates that this operator, by
+    design, never re-checks.
 
     This is the shape a training-data pipeline actually runs day to
     day — a new crawl batch against the accumulated corpus — and it is
@@ -497,6 +519,11 @@ def minhash_dedup_incremental(
     out = new_df.join(losers, id_col, "left_anti")
     out = out.localCheckpoint(eager=True)
     n.unpersist()
+    if dedup_within_batch:
+        out = minhash_dedup_portable(
+            out, id_col, text_col, num_perm=num_perm, bands=bands,
+            shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
+        )
     return out
 
 

@@ -206,6 +206,62 @@ def _refresh_manifests(
     return total
 
 
+def _staged_manifest_path(staging: str, bucket: int) -> str:
+    # must NOT start with "bucket=" (that prefix enumerates data dirs)
+    return os.path.join(staging, f"manifest_bucket_{bucket:05d}.json")
+
+
+def _stage_manifests(
+    spark: SparkSession,
+    staging: str,
+    run_id: str,
+    n_buckets: int,
+    key_cols: Sequence[str],
+    payload_col: str,
+) -> list[int]:
+    """Precompute each staged bucket's lineage manifest FROM THE STAGED
+    DATA and store it inside the staging dir — part of the redo log, so
+    a crash at any point of the swap can always restore commit state
+    (ADVICE r3: refreshing manifests only after the whole swap loop left
+    a window where a bucket had neither manifest nor staging copy).
+    The swap is a pure rename, so staged stats == post-swap stats."""
+    present = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(staging)
+        if name.startswith("bucket=")
+    )
+    if not present:
+        return []
+    stats = (
+        spark.read.parquet(staging)
+        .filter(F.col("bucket").isin(present))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.length(payload_col)).alias("bytes"),
+            _row_checksum_agg(key_cols, payload_col).alias("checksum"),
+        )
+        .collect()
+    )
+    by_bucket = {int(r["bucket"]): r for r in stats}
+    for b in present:
+        r = by_bucket.get(b)
+        manifest = {
+            "run_id": run_id,
+            "partition_id": int(b),
+            "input_split": f"bucket={b}/{n_buckets}",
+            "row_count": int(r["row_count"]) if r else 0,
+            "bytes": int(r["bytes"] or 0) if r else 0,
+            "checksum": str(r["checksum"]) if r else "0",
+            "committed_unix": int(time.time()),
+        }
+        tmp = _staged_manifest_path(staging, b) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, _staged_manifest_path(staging, b))
+    return present
+
+
 def _complete_swap(
     spark: SparkSession,
     path: str,
@@ -215,37 +271,66 @@ def _complete_swap(
     key_cols: Sequence[str],
     payload_col: str,
 ) -> list[int]:
-    """Swap fully-staged bucket dirs into place and refresh their
-    manifests.  Idempotent: callable again after a crash at any point
-    (the staging dir IS the redo log — it holds each affected bucket's
-    complete post-merge contents, so re-running the swap converges).
+    """Swap fully-staged bucket dirs into place and install their
+    precomputed manifests.  Idempotent: callable again after a crash at
+    any point (the staging dir IS the redo log — it holds each affected
+    bucket's complete post-merge contents AND its manifest, so
+    re-running the swap converges).
 
-    Per-bucket commit protocol (crash-safe at every step):
-      1. remove the bucket's manifest  -> readers stop seeing the
+    Per-bucket commit protocol (crash-safe at every step; buckets are
+    enumerated from the staged MANIFESTS, which outlive the staged data
+    dir by construction):
+      1. remove the bucket's live manifest -> readers stop seeing the
          bucket (``read_merged`` is manifest-gated), old data may
          still be on disk but is invisible;
       2. ``rmtree`` the old bucket dir;
-      3. ``os.replace`` the staged dir into place (atomic rename);
-      4. manifest is rewritten (below) from the stored bytes.
-    A crash between 1 and 4 leaves the bucket uncommitted AND the
-    staging copy intact, so the next ``merge_upsert`` replays this
-    swap before doing anything else."""
+      3. ``os.replace`` the staged data dir into place (atomic);
+      4. ``os.replace`` the staged manifest into ``_lineage/``
+         (atomic) -> the bucket is committed again.
+    Crash between 3 and 4: the staged manifest is still present with
+    no staged data dir, so the replay skips to step 4 and commits.
+    Crash between 1 and 3: data dir + manifest both staged; replay
+    redoes 1-4.  Legacy staging dirs without precomputed manifests
+    (pre round-4) fall back to a post-swap ``_refresh_manifests``."""
+    staged_manifests = {
+        int(name[len("manifest_bucket_"):-len(".json")]): name
+        for name in os.listdir(staging)
+        if name.startswith("manifest_bucket_") and name.endswith(".json")
+    }
     swapped = []
-    for name in sorted(os.listdir(staging)):
-        if not name.startswith("bucket="):
-            continue
-        b = int(name.split("=", 1)[1])
-        mpath = _manifest_path(path, b)
-        if os.path.exists(mpath):
-            os.remove(mpath)  # uncommit: hide the bucket from readers
-        old = os.path.join(path, name)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.replace(os.path.join(staging, name), old)
-        swapped.append(b)
-    if swapped:
-        _refresh_manifests(spark, path, swapped, run_id, n_buckets,
-                           key_cols, payload_col)
+    if staged_manifests:
+        for b in sorted(staged_manifests):
+            staged_dir = os.path.join(staging, f"bucket={b}")
+            live_dir = os.path.join(path, f"bucket={b}")
+            if os.path.isdir(staged_dir):
+                mpath = _manifest_path(path, b)
+                if os.path.exists(mpath):
+                    os.remove(mpath)  # uncommit: hide from readers
+                if os.path.isdir(live_dir):
+                    shutil.rmtree(live_dir)
+                os.replace(staged_dir, live_dir)
+            # else: data already swapped by a crashed attempt — only
+            # the manifest install remains
+            os.makedirs(os.path.join(path, LINEAGE_DIR), exist_ok=True)
+            os.replace(os.path.join(staging, staged_manifests[b]),
+                       _manifest_path(path, b))
+            swapped.append(b)
+    else:  # legacy redo log (no precomputed manifests)
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            mpath = _manifest_path(path, b)
+            if os.path.exists(mpath):
+                os.remove(mpath)
+            old = os.path.join(path, name)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.replace(os.path.join(staging, name), old)
+            swapped.append(b)
+        if swapped:
+            _refresh_manifests(spark, path, swapped, run_id, n_buckets,
+                               key_cols, payload_col)
     shutil.rmtree(staging, ignore_errors=True)
     return swapped
 
@@ -344,6 +429,11 @@ def merge_upsert(
     if os.path.isdir(staging):
         shutil.rmtree(staging)
     final.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    # manifests are computed from the STAGED bytes and live inside the
+    # redo log BEFORE it is marked valid — the swap can then commit
+    # each bucket atomically (data rename, then manifest rename)
+    _stage_manifests(spark, staging, run_id, n_buckets, key_cols,
+                     payload_col)
     with open(os.path.join(staging, "_STAGED"), "w") as f:
         f.write(run_id)  # staging job committed -> redo log is valid
     incoming.unpersist()

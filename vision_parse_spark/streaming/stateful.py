@@ -112,13 +112,19 @@ STATE_SCHEMA_EVENT = StructType(
 )
 
 
-def make_event_assembler(gap_ms: int = 5000):
+def make_event_assembler(gap_ms: int = 5000, session_tz: str = "UTC"):
     """Event-time conversation assembler: a conversation emits when
     the WATERMARK passes (its max event time + ``gap_ms``) — a
     function of the data alone, so two replays of the same input
     produce identical emissions regardless of scheduling (the
     ProcessingTimeTimeout variant's emission timing is wall-clock
-    dependent; round-2 robustness nit)."""
+    dependent; round-2 robustness nit).
+
+    ``session_tz`` must be the session's ``spark.sql.session.timeZone``
+    (``assembled_stream_event`` threads it through): Arrow hands pandas
+    session-local NAIVE timestamps, so epoch-ms extraction must
+    localize to that zone first or ``setTimeoutTimestamp`` skews from
+    the engine watermark by the UTC offset (ADVICE r3)."""
 
     def assemble(
         key: Tuple[str],
@@ -149,7 +155,13 @@ def make_event_assembler(gap_ms: int = 5000):
             idxs.extend(int(i) for i in pdf["turn_idx"])
             texts.extend(str(t) for t in pdf["markdown"])
             if len(pdf):
-                batch_max = int(pdf["ts"].astype("int64").max() // 1_000_000)
+                # naive series = session-local wall time -> localize to
+                # the session zone, then convert to UTC for epoch math
+                ts = pdf["ts"]
+                if ts.dt.tz is None:
+                    ts = ts.dt.tz_localize(session_tz)
+                ts = ts.dt.tz_convert("UTC")
+                batch_max = int(ts.astype("int64").max() // 1_000_000)
                 max_ts = max(max_ts, batch_max)
         state.update((idxs, texts, max_ts))
         state.setTimeoutTimestamp(max_ts + gap_ms)
@@ -168,11 +180,13 @@ def assembled_stream_event(turns_stream, gap: str = "5 seconds",
     """Event-time assembly over (conv_id, turn_idx, markdown, ts):
     watermarked input + EventTimeTimeout, bounded state, replay-
     deterministic emissions."""
+    session_tz = turns_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC")
     return (
         turns_stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            make_event_assembler(gap_ms),
+            make_event_assembler(gap_ms, session_tz),
             outputStructType=ASSEMBLED_SCHEMA,
             stateStructType=STATE_SCHEMA_EVENT,
             outputMode="append",
