@@ -152,3 +152,33 @@ def test_synth_pdf_image_rows_flow_through_pipeline(spark):
     assert with_imgs.count() == n
     assert out.filter(~F.col("markdown").contains("![image_1_1.png]")) \
         .count() == 0
+
+
+def test_vector_figure_turn_emits_images_and_media_row(spark, tmp_path):
+    """Round-4 acceptance (VERDICT missing #1): a turn whose PDF
+    payload draws a VECTOR figure (path fills, no raster XObject)
+    emits an `images` entry through extract and lands a PNG artifact
+    row in the media sink."""
+    from vision_parse_spark.functions.pdf import make_pdf_bytes
+
+    payload = make_pdf_bytes(
+        [["quarterly results", "the chart below shows the split"]],
+        vector_figures=[0],
+    ).decode("latin-1")
+    df = spark.createDataFrame(
+        [("conv-vec", 0, "assistant", payload, None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = extract(df, ExtractConfig(image_mode="base64"))
+    row = out.first()
+    assert row["status"] == "ok"
+    assert [d["image_url"] for d in row["images"]] == ["image_1_1.png"]
+    assert "![image_1_1.png](" in row["markdown"]
+
+    path = str(tmp_path / "media")
+    write_media(out, path, n_buckets=2)
+    back = read_media(spark, path).collect()
+    assert len(back) == 1
+    assert back[0]["image_url"] == "image_1_1.png"
+    assert bytes(back[0]["png"][:8]) == b"\x89PNG\r\n\x1a\n"

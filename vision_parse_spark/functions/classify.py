@@ -102,11 +102,14 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd
     html_mask = (payload_kind == "html").to_numpy()
 
     extracted = t.copy()
+    pdf_vector_ink = pd.Series(False, index=t.index)
     if pdf_mask.any():
         from .pdf import extract_pdf_text_series
 
-        parsed_pdf, _parse_ok = extract_pdf_text_series(t[pdf_mask])
+        parsed_pdf, _parse_ok, vec_ink = extract_pdf_text_series(
+            t[pdf_mask], with_vector_flag=True)
         extracted = extracted.mask(pd.Series(pdf_mask, index=t.index), parsed_pdf)
+        pdf_vector_ink.loc[vec_ink.index] = vec_ink
     if html_mask.any():
         stripped_html = strip_html_boilerplate(t[html_mask])
         extracted = extracted.mask(pd.Series(html_mask, index=t.index), stripped_html)
@@ -131,12 +134,15 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd
 
     latex_detected = extracted.str.contains(_LATEX_RE, regex=True, na=False)
     # markers (synthetic channel) OR embedded /Image XObjects inside a
-    # pdf payload (real channel; the full decode happens lazily in the
-    # images operator — this is the vectorized detection gate, P3)
+    # pdf payload (real channel) OR vector paint ops in a pdf page's
+    # decoded content stream (the round-4 raster-fallback channel for
+    # vector-drawn figures; flag computed during the text parse above).
+    # The full decode happens lazily in the images operator — this is
+    # the vectorized detection gate, P3.
     images_detected = has_marker | (
         pd.Series(pdf_mask, index=t.index)
         & t.str.contains(r"/Subtype\s*/Image\b", regex=True, na=False)
-    )
+    ) | pdf_vector_ink
 
     # --- confidence: "this text is already final" score --------------
     # clean-character ratio, halved when unformatted structure remains

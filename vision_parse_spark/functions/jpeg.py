@@ -6,10 +6,12 @@ Retires the multimodal channel's biggest stub (round-2 verdict item
 numpy only (no codec libraries exist in this environment).
 
 Scope — baseline sequential DCT profile:
-* decoder: SOF0 (8-bit), 1 or 3 components, any sampling up to 2x2
-  (4:4:4 / 4:2:2 / 4:2:0), custom DQT/DHT (8/16-bit quant), restart
-  intervals, byte de-stuffing; progressive (SOF2) and arithmetic
-  coding raise ``NotImplementedError`` honestly.
+* decoder: SOF0 (8-bit) and — since round 4 — progressive SOF2
+  (spectral selection + successive approximation, DC/AC initial and
+  refinement scans, T.81 G.1.2), 1 or 3 components, any sampling up
+  to 2x2 (4:4:4 / 4:2:2 / 4:2:0), custom DQT/DHT (8/16-bit quant),
+  restart intervals, byte de-stuffing; hierarchical/lossless/
+  arithmetic coding raise ``NotImplementedError`` honestly.
 * encoder (fixture/synth source): 4:4:4 or 4:2:0, standard-shape
   quant tables scaled by quality, per-image canonical Huffman tables
   emitted in DHT (fixed-length canonical codes — valid per the spec,
@@ -415,15 +417,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG to an HxW (gray) or HxWx3 (RGB)
-    uint8 array.  Raises ``NotImplementedError`` for progressive /
-    arithmetic / >8-bit files and ``ValueError`` for malformed data."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to an HxW
+    (gray) or HxWx3 (RGB) uint8 array.  Raises ``NotImplementedError``
+    for hierarchical / arithmetic / >8-bit files and ``ValueError``
+    for malformed data."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     dc_t: dict[int, dict] = {}
     ac_t: dict[int, dict] = {}
     frame = None  # (h, w, comps)
+    progressive = False
+    n_scans = 0
     restart = 0
     i = 2
     n = len(data)
@@ -460,7 +465,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + cnt])
                 (dc_t if tc == 0 else ac_t)[th] = _decode_table(bits, vals)
                 p += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -470,7 +475,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF,
                               "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                for c in comps:
+                    c["bw"] = mcux * c["h"]
+                    c["bh"] = mcuy * c["v"]
+                    # zigzag-domain INTEGER coefficients: progressive
+                    # refinement is defined by bit operations (G.1.2)
+                    c["zz"] = np.zeros((c["bh"] * c["bw"], 64),
+                                       dtype=np.int32)
+                    # block count of the component's REAL extent (non-
+                    # interleaved scans iterate these, not MCU padding)
+                    comp_w = -(-fw * c["h"] // hmax)
+                    comp_h = -(-fh * c["v"] // vmax)
+                    c["cbw"] = -(-comp_w // 8)
+                    c["cbh"] = -(-comp_h // 8)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})")
@@ -485,9 +509,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 scomps.append({"id": cid, "td": tt >> 4, "ta": tt & 0xF})
             scan_start = i + seglen
-            return _decode_scan(data, scan_start, frame, scomps,
-                                qt, dc_t, ac_t, restart)
+            if not progressive:
+                return _decode_scan(data, scan_start, frame, scomps,
+                                    qt, dc_t, ac_t, restart)
+            ss, se, ahal = seg[1 + 2 * nc:4 + 2 * nc]
+            i = _decode_scan_progressive(
+                data, scan_start, frame, scomps, qt, dc_t, ac_t,
+                restart, ss, se, ahal >> 4, ahal & 0xF)
+            n_scans += 1
+            continue
         i += seglen
+    if progressive and frame is not None and n_scans:
+        return _finish_progressive(frame, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -592,6 +625,222 @@ def _decode_scan(data, start, frame, scomps, qt, dc_t, ac_t, restart):
     planes = []
     for c in comps:
         blocks = np.einsum("ji,njk,kl->nil", _A, c["coef"], _A)  # IDCT
+        plane = _unblockify(blocks, c["bh"] * 8, c["bw"] * 8) + 128.0
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    raise NotImplementedError(f"{len(planes)}-component JPEG")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scans — spectral selection + successive
+# approximation per ITU-T T.81 G.1.2 (round 4; the SOF2 gate retired)
+# ---------------------------------------------------------------------------
+
+
+def _read_huff(br: "_BitReader", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _decode_scan_progressive(data, start, frame, scomps, qt, dc_t, ac_t,
+                             restart, ss, se, ah, al):
+    """Decode ONE progressive scan into the components' integer zigzag
+    coefficient state; returns the source offset just past the scan's
+    entropy-coded data.  Handles all four scan classes: DC initial /
+    refinement (interleaved or not) and AC initial / refinement
+    (single-component by spec B.2.3)."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["id"]] for s in scomps]
+    for c, s in zip(order, scomps):
+        c["td"], c["ta"] = s["td"], s["ta"]
+
+    stream, rst_at = _destuff(data, start)
+    consumed = _destuffed_end(data, start)
+    br = _BitReader(stream)
+    rst_iter = iter(rst_at)
+    next_rst = next(rst_iter, None)
+
+    def restart_boundary():
+        nonlocal next_rst
+        br.align()
+        if next_rst is not None and br.pos <= next_rst:
+            br.pos = next_rst
+            next_rst = next(rst_iter, None)
+
+    if ss == 0:  # ---- DC scan (Se must be 0) ----------------------
+        preds = {c["id"]: 0 for c in order}
+        units = 0
+        single = len(order) == 1
+        if single:
+            c = order[0]
+            cells = [(c, bi) for by in range(c["cbh"])
+                     for bi in [by * c["bw"]]
+                     for bi in [bi]][:0]  # placeholder, built below
+            cells = [(c, by * c["bw"] + bx)
+                     for by in range(c["cbh"]) for bx in range(c["cbw"])]
+        else:
+            cells = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    group = []
+                    for c in order:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                group.append(
+                                    (c, (my * c["v"] + by) * c["bw"]
+                                     + (mx * c["h"] + bx)))
+                    cells.append(group)
+        if ah == 0:  # initial DC pass
+            dct = {c["id"]: dc_t.get(c["td"]) for c in order}
+            if any(t is None for t in dct.values()):
+                raise ValueError("missing DC table")
+
+            def dc_block(c, bi):
+                size = _read_huff(br, dct[c["id"]])
+                diff = _extend(br.read_bits(size), size) if size else 0
+                preds[c["id"]] += diff
+                c["zz"][bi, 0] = preds[c["id"]] << al
+        else:  # DC refinement: one raw bit per block
+            def dc_block(c, bi):
+                if br.read_bit():
+                    c["zz"][bi, 0] |= (1 << al)
+        if single:
+            for k, (c, bi) in enumerate(cells):
+                if restart and k and k % restart == 0:
+                    restart_boundary()
+                    preds = {c["id"]: 0 for c in order}
+                dc_block(c, bi)
+        else:
+            for k, group in enumerate(cells):
+                if restart and k and k % restart == 0:
+                    restart_boundary()
+                    preds = {c["id"]: 0 for c in order}
+                for c, bi in group:
+                    dc_block(c, bi)
+        return consumed
+
+    # ---- AC scan: exactly one component (B.2.3) --------------------
+    if len(order) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    c = order[0]
+    act = ac_t.get(c["ta"])
+    if act is None:
+        raise ValueError("missing AC table")
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    blocks = [by * c["bw"] + bx
+              for by in range(c["cbh"]) for bx in range(c["cbw"])]
+    for n_done, bi in enumerate(blocks):
+        if restart and n_done and n_done % restart == 0:
+            restart_boundary()
+            eobrun = 0
+        zz = c["zz"][bi]
+        if ah == 0:  # ---- initial AC pass (G.1.2.2) ----
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _read_huff(br, act)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                zz[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+        else:  # ---- AC refinement (G.1.2.3, libjpeg structure) ----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_huff(br, act)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        val = p1 if br.read_bit() else m1
+                    while k <= se:
+                        coef = int(zz[k])
+                        if coef != 0:
+                            if br.read_bit() and (coef & p1) == 0:
+                                zz[k] = coef + (p1 if coef >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    coef = int(zz[k])
+                    if coef != 0 and br.read_bit() and (coef & p1) == 0:
+                        zz[k] = coef + (p1 if coef >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return consumed
+
+
+def _destuffed_end(data: bytes, start: int) -> int:
+    """Source offset just past the scan's entropy bytes (the marker
+    that ended the scan) — mirrors _destuff's walk."""
+    i = start
+    n = len(data)
+    while i < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _finish_progressive(frame, qt) -> np.ndarray:
+    """Dequantize + IDCT + upsample the accumulated progressive
+    coefficient state (same finishing math as the baseline scan)."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        blk = np.zeros((c["zz"].shape[0], 64))
+        blk[:, _ZZ] = c["zz"].astype(np.float64)
+        coef = blk.reshape(-1, 8, 8) * q
+        blocks = np.einsum("ji,njk,kl->nil", _A, coef, _A)
         plane = _unblockify(blocks, c["bh"] * 8, c["bw"] * 8) + 128.0
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:

@@ -272,6 +272,7 @@ def extract_images(
     laplacian_var_max: float = 500.0,
     page_frac_max: float = 0.95,
     detection_scale: float = 1.0,
+    start_idx: int = 1,
 ) -> list[dict]:
     """Detect and extract image regions from one page bitmap.
 
@@ -335,7 +336,8 @@ def extract_images(
 
     order = np.argsort(-areas[1:], kind="stable") + 1  # area-desc (T11 sort)
 
-    idx = 1
+    idx = start_idx  # callers running several channels over ONE page
+    # continue the numbering so names never collide
     out: list[dict] = []
     for comp in order:
         # map detection-space boxes back to full resolution
@@ -399,7 +401,11 @@ def extract_images_from_marker_text(
       (functions/pdf.py) and each runs through region extraction on a
       white-page composite, numbered by its PDF page index — the lift
       of the reference extracting regions from every rendered page
-      (utils.py:62-141).
+      (utils.py:62-141); pages that paint VECTOR ink (path fills /
+      strokes — most born-digital charts and diagrams) are additionally
+      rasterized by the minimal path rasterizer and region-detected,
+      with idx numbering continuing after that page's embedded-image
+      regions so names never collide.
     * ``[[PAGE_IMAGE ...]]`` markers: deterministic synthetic pages
       (the no-raster-libs channel), numbered by turn.
 
@@ -407,17 +413,42 @@ def extract_images_from_marker_text(
     restarts like the reference's per-page calls)."""
     results: list[dict] = []
     if text and text.startswith("%PDF-"):
-        from ..functions.pdf import PdfParseError, extract_pdf_images
+        from ..functions.pdf import (
+            PdfParseError,
+            extract_pdf_images,
+            rasterize_pdf_vector_pages,
+        )
 
+        data = text.encode("latin-1", errors="replace")
+        page_region_count: dict[int, int] = {}
         try:
-            embedded = extract_pdf_images(
-                text.encode("latin-1", errors="replace"))
+            embedded = extract_pdf_images(data)
         except (PdfParseError, ValueError):
             embedded = []
         for page_idx, _name, arr in embedded:
+            found = extract_images(page_from_image_array(arr), image_mode,
+                                   page_idx, **kwargs)
+            page_region_count[page_idx] = (
+                page_region_count.get(page_idx, 0) + len(found))
+            results.extend(found)
+        try:
+            vector_pages = rasterize_pdf_vector_pages(data)
+        except (PdfParseError, ValueError):
+            vector_pages = []
+        for page_idx, canvas in vector_pages:
+            # antialias the hard-edged scanline raster (a real renderer
+            # — the reference's pdfium — draws soft edges; without this
+            # the P5 Laplacian-variance bound rejects every crisp
+            # synthetic edge as "text-like")
+            canvas = _sep_convolve(
+                canvas.astype(np.float64), _gaussian_kernel1d(5)
+            ).astype(np.uint8)
+            page = np.repeat(canvas[:, :, None], 3, axis=2)
             results.extend(
-                extract_images(page_from_image_array(arr), image_mode,
-                               page_idx, **kwargs)
+                extract_images(
+                    page, image_mode, page_idx,
+                    start_idx=page_region_count.get(page_idx, 0) + 1,
+                    **kwargs)
             )
     for m in MARKER_RE.finditer(text or ""):
         w, h, seed = int(m.group(1)), int(m.group(2)), int(m.group(3))

@@ -18,7 +18,8 @@ Real here (stdlib/numpy only):
 * deterministic frame sampling over a concatenated-frames "video".
 
 * baseline JPEG decode (pure-Python/numpy codec, functions/jpeg.py —
-  real since round 3; progressive/arithmetic still raise).
+  real since round 3, progressive SOF2 since round 4;
+  hierarchical/arithmetic still raise).
 
 STUBBED (libs not in this container, Spark plumbing still real):
 * WebP decode, compressed-audio decode -> ``NotImplementedError``
@@ -152,8 +153,9 @@ def decode_png(png: bytes) -> np.ndarray:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline (SOF0) JPEG -> uint8 array via the pure-Python codec
-    (functions/jpeg.py); progressive/arithmetic files still raise
-    ``NotImplementedError`` from the codec, honestly gated."""
+    (functions/jpeg.py), baseline AND progressive (SOF2);
+    hierarchical/arithmetic files still raise ``NotImplementedError``
+    from the codec, honestly gated."""
     from ..functions.jpeg import decode_jpeg as _dj
 
     return _dj(data)

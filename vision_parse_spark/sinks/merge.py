@@ -41,6 +41,55 @@ LINEAGE_DIR = "_lineage"
 STAGING_PREFIX = "_staging_"
 
 
+def is_iceberg_target(spark: SparkSession, target: str) -> bool:
+    """True when ``target`` names a catalog table (``cat.db.table`` —
+    no path separators) whose catalog is configured on the session
+    (``spark.sql.catalog.<cat>`` set, the standard Iceberg wiring).
+    This is the round-4 dispatch flag: on a real cluster a user points
+    the sink at an Iceberg table identifier and flips nothing else;
+    local filesystem paths keep the parquet emulation."""
+    if "://" in target or "/" in target or "." not in target:
+        return False
+    cat = target.split(".", 1)[0]
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{cat}", None) is not None
+    except Exception:
+        return False
+
+
+def _iceberg_write(df: DataFrame, table: str) -> dict:
+    """merge_write on an Iceberg catalog table: create-or-append via
+    the DataFrameV2 API (resume/lineage are Iceberg's own snapshot +
+    manifest metadata there — the emulation's manifest JSONs map to
+    them 1:1)."""
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        df.writeTo(table).append()
+    else:
+        df.writeTo(table).using("iceberg").create()
+    return {"written": [table], "skipped": [], "rows": -1}
+
+
+def _iceberg_upsert(df: DataFrame, table: str,
+                    key_cols: Sequence[str]) -> dict:
+    """merge_upsert on an Iceberg catalog table: a true
+    ``MERGE INTO ... WHEN MATCHED UPDATE / NOT MATCHED INSERT`` —
+    exactly the statement the local staging protocol emulates."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        df.writeTo(table).using("iceberg").create()
+        return {"updated": [], "inserted": [table], "rows": -1}
+    view = "_vps_merge_incoming"
+    df.createOrReplaceTempView(view)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    spark.sql(
+        f"MERGE INTO {table} t USING {view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+    return {"updated": [table], "inserted": [], "rows": -1}
+
+
 def _require_local(path: str) -> None:
     """This sink's purge/manifest/rename IO is driver-local ``os``/
     ``shutil`` — correct only for local filesystem paths.  On a real
@@ -92,6 +141,8 @@ def merge_write(
     (already committed), total rows written.
     """
     spark = df.sparkSession
+    if is_iceberg_target(spark, path):
+        return _iceberg_write(df, path)
     _require_local(path)
     done = completed_buckets(path)
     todo = sorted(set(range(n_buckets)) - done)
@@ -395,6 +446,8 @@ def merge_upsert(
     distributed table contract.
     """
     spark = df.sparkSession
+    if is_iceberg_target(spark, path):
+        return _iceberg_upsert(df, path, key_cols)
     _require_local(path)
 
     # finish any crashed upsert first (staging dirs are redo logs)

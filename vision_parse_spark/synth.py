@@ -28,7 +28,7 @@ SEED = 42
 # bump when generated content changes (cache-busts bench input dirs
 # under /tmp so scaling/bench arms never read a previous version's
 # payload mix)
-SYNTH_VERSION = 3
+SYNTH_VERSION = 4
 
 # Zipf-ish conversation-length pattern, repeated periodically.  One
 # 96-turn conversation per 32 -> long-conv skew without driver state.
@@ -130,6 +130,9 @@ def gen_payloads(ids: np.ndarray) -> pd.DataFrame:
         # image -> CV-region -> media-sink channel end to end
         img_flag = (_mix(ids, 631) % np.uint64(4) == 0)
         img_geom = _mix(ids, 632)
+        # v4: a disjoint quarter draws a vector pie figure (path fills)
+        # on page 0, exercising the raster-fallback channel end to end
+        vec_flag = (_mix(ids, 631) % np.uint64(4) == 1)
         t_arr = title.to_numpy()
         b_arr = body.to_numpy()
         b2_arr = body2.to_numpy()
@@ -150,7 +153,10 @@ def gen_payloads(ids: np.ndarray) -> pd.DataFrame:
                 images = {0: np.repeat(
                     np.broadcast_to(grad, (h, w))[:, :, None], 3, axis=2)}
             vals.append(
-                make_pdf_bytes(pages, images=images).decode("latin-1"))
+                make_pdf_bytes(
+                    pages, images=images,
+                    vector_figures=[0] if vec_flag[pos] else None,
+                ).decode("latin-1"))
         text[m_pdf] = vals
 
     m = kind_idx == 2  # headed: title + sections + bullets
