@@ -112,3 +112,145 @@ def test_real_scanned_pdf_decodes_structurally():
     assert 0.01 < black_frac < 0.2  # text page, not noise/inverted
     # margins: the outermost columns are overwhelmingly white
     assert (img[:, :20] == 255).mean() > 0.95
+
+
+# ---------------------------------------------------------------------------
+# round 4: G3 (/K >= 0) — test-side MH encoder drives the decoder
+# ---------------------------------------------------------------------------
+
+
+def _mh_run_code(run: int, white: bool) -> str:
+    """T.4 run -> bit string (makeup(s) + terminator), from the
+    decoder's own tables inverted."""
+    from vision_parse_spark.functions.ccitt import (
+        _BLACK_CODES, _EXT_MAKEUP, _WHITE_CODES,
+    )
+
+    inv = {v: k for k, v in
+           (_WHITE_CODES if white else _BLACK_CODES).items()}
+    inv_ext = {v: k for k, v in _EXT_MAKEUP.items()}
+    out = ""
+    while run >= 64:
+        cap = min(run - run % 64, 2560)
+        mk = inv_ext.get(cap) if cap > 1728 else inv.get(cap)
+        if mk is None:  # fall back to largest table makeup
+            cap = 1728
+            mk = inv[cap]
+        out += mk
+        run -= cap
+    return out + inv[run]
+
+
+def _encode_g3_1d_row(row) -> str:
+    import numpy as np
+
+    bits = ""
+    pos = 0
+    white = True
+    row = np.asarray(row, dtype=bool)
+    n = len(row)
+    while pos < n:
+        run = 0
+        while pos + run < n and row[pos + run] == (not white):
+            run += 1
+        bits += _mh_run_code(run, white)
+        pos += run
+        white = not white
+    return bits
+
+
+def _pack(bits: str) -> bytes:
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+_EOL = "000000000001"
+
+
+def _checker(h, w, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2, size=(h, w)).astype(bool)
+
+
+def test_g3_k0_plain_rows_round_trip():
+    import numpy as np
+
+    from vision_parse_spark.functions.ccitt import decode_g3
+
+    img = _checker(6, 40)
+    bits = "".join(_encode_g3_1d_row(r) for r in img)
+    out = decode_g3(_pack(bits), columns=40, rows=6)
+    # coding-black (True) renders BLACK (0) when black_is_1=False
+    assert np.array_equal(out == 0, img)
+
+
+def test_g3_k0_with_eols_and_rtc():
+    import numpy as np
+
+    from vision_parse_spark.functions.ccitt import decode_g3
+
+    img = _checker(4, 33, seed=8)
+    bits = _EOL + (_EOL.join(_encode_g3_1d_row(r) for r in img)) \
+        + _EOL * 6
+    out = decode_g3(_pack(bits), columns=33)
+    assert out.shape == (4, 33)
+    assert np.array_equal(out == 0, img)
+
+
+def test_g3_k_positive_mixed_1d_2d():
+    """K>0: tag bit after each EOL selects 1-D (1) or 2-D (0); the 2-D
+    row is coded against the previous row with vertical modes (V0 =
+    identical row)."""
+    import numpy as np
+
+    from vision_parse_spark.functions.ccitt import decode_g3
+
+    row = np.zeros(24, dtype=bool)
+    row[5:12] = True
+    bits = _EOL + "1" + _encode_g3_1d_row(row)
+    # second row identical, coded 2-D with V0s: transitions at 5 and
+    # 12, then close at columns via V0 to b1=24
+    bits += _EOL + "0" + "1" + "1" + "1"
+    out = decode_g3(_pack(bits + _EOL * 6), columns=24, rows=2, k=4)
+    assert np.array_equal(out[0], out[1])
+    assert np.array_equal(out[0] == 0, row)
+
+
+def test_g3_byte_align_gate():
+    import pytest
+
+    from vision_parse_spark.functions.ccitt import decode_g3
+
+    with pytest.raises(NotImplementedError):
+        decode_g3(b"\x00", columns=8, byte_align=True)
+
+
+def test_g3_image_xobject_in_pdf():
+    """A /CCITTFaxDecode /K 0 image XObject decodes through
+    extract_pdf_images (the G3 branch; /K absent defaults to 0)."""
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import extract_pdf_images
+
+    img = _checker(8, 32, seed=3)
+    bits = "".join(_encode_g3_1d_row(r) for r in img)
+    raw = _pack(bits)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+        b"<< /Fax 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 14 >>\nstream\nBT (t) Tj ET\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 32 /Height 8"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns 32"
+        b" /Rows 8 >> /Length " + str(len(raw)).encode()
+        + b" >>\nstream\n" + raw + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n")
+    ims = extract_pdf_images(pdf)
+    assert len(ims) == 1
+    _, name, arr = ims[0]
+    assert name == "Fax" and arr.shape == (8, 32)
+    assert np.array_equal(arr == 0, img)

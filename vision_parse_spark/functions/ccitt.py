@@ -17,8 +17,9 @@ Decoder structure (T.6 §2):
   desyncs immediately, which makes decode-to-completion of a
   multi-thousand-row image a strong structural self-check.
 
-Only K<0 (pure G4) is implemented — the form PDF producers emit; G3
-1D/mixed raise ``NotImplementedError``.
+K<0 (pure G4) and — since round 4 — G3 (``decode_g3``: K=0 pure 1-D
+Modified Huffman, K>0 mixed 1-D/2-D with EOL tag bits, RTC detection)
+are implemented; /EncodedByteAlign raises ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -161,6 +162,80 @@ def _read_run(bits: _Bits, white: bool) -> int:
 _EOFB = "000000000001000000000001"
 
 
+def _decode_2d_row(bits: _Bits, ref: list[int],
+                   columns: int) -> list[int]:
+    """One 2-D (MR/MMR) coded row against the reference row's changing
+    elements; returns the row's change positions (shared by G4 and the
+    2-D rows of mixed G3)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    while a0 < columns:
+        idx = 0
+        while idx < len(ref) and (ref[idx] <= a0 or (idx & 1) != color):
+            idx += 1
+        b1 = ref[idx] if idx < len(ref) else columns
+        b2 = ref[idx + 1] if idx + 1 < len(ref) else columns
+        if bits.peek_is("0001"):  # pass
+            bits.pos += 4
+            a0 = b2
+        elif bits.peek_is("001"):  # horizontal
+            bits.pos += 3
+            start = max(a0, 0)
+            r1 = _read_run(bits, color == 0)
+            r2 = _read_run(bits, color != 0)
+            cur.append(min(start + r1, columns))
+            cur.append(min(start + r1 + r2, columns))
+            a0 = start + r1 + r2
+        else:  # vertical modes
+            if bits.peek_is("1"):
+                d, w = 0, 1
+            elif bits.peek_is("011"):
+                d, w = 1, 3
+            elif bits.peek_is("010"):
+                d, w = -1, 3
+            elif bits.peek_is("000011"):
+                d, w = 2, 6
+            elif bits.peek_is("000010"):
+                d, w = -2, 6
+            elif bits.peek_is("0000011"):
+                d, w = 3, 7
+            elif bits.peek_is("0000010"):
+                d, w = -3, 7
+            else:
+                raise ValueError(
+                    f"CCITT: bad mode code at bit {bits.pos}")
+            bits.pos += w
+            a1 = b1 + d
+            if a1 < 0 or a1 > columns:
+                raise ValueError("CCITT: vertical move out of row")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _row_from_changes(cur: list[int], columns: int) -> np.ndarray:
+    row = np.zeros(columns, dtype=bool)
+    pos = 0
+    col = False
+    for c in cur:
+        c = min(c, columns)
+        if col:
+            row[pos:c] = True
+        pos = c
+        col = not col
+    if col and pos < columns:
+        row[pos:] = True
+    return row
+
+
+def _row_changes(row: np.ndarray) -> list[int]:
+    flips = np.flatnonzero(np.diff(
+        np.concatenate([[False], row]).astype(np.int8)) != 0)
+    return flips.tolist()
+
+
 def decode_g4(data: bytes, columns: int, rows: int | None = None,
               black_is_1: bool = False) -> np.ndarray:
     """Decode a pure-G4 (/K < 0) stream to an HxW uint8 GRAY image.
@@ -183,77 +258,103 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             break
         if bits.pos >= bits.n or bits.peek_is(_EOFB):
             break
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        while a0 < columns:
-            # b1: first ref change > a0 with color opposite to current
-            # (i.e. a transition TO !color... by parity: even-index
-            # changes are white->black)
-            idx = 0
-            while idx < len(ref) and (ref[idx] <= a0 or (idx & 1) != color):
-                idx += 1
-            b1 = ref[idx] if idx < len(ref) else columns
-            b2 = ref[idx + 1] if idx + 1 < len(ref) else columns
-            if bits.peek_is("0001"):  # pass
-                bits.pos += 4
-                a0 = b2
-            elif bits.peek_is("001"):  # horizontal
-                bits.pos += 3
-                start = max(a0, 0)
-                r1 = _read_run(bits, color == 0)
-                r2 = _read_run(bits, color != 0)
-                cur.append(min(start + r1, columns))
-                cur.append(min(start + r1 + r2, columns))
-                a0 = start + r1 + r2
-            else:  # vertical modes
-                if bits.peek_is("1"):
-                    d, w = 0, 1
-                elif bits.peek_is("011"):
-                    d, w = 1, 3
-                elif bits.peek_is("010"):
-                    d, w = -1, 3
-                elif bits.peek_is("000011"):
-                    d, w = 2, 6
-                elif bits.peek_is("000010"):
-                    d, w = -2, 6
-                elif bits.peek_is("0000011"):
-                    d, w = 3, 7
-                elif bits.peek_is("0000010"):
-                    d, w = -3, 7
-                else:
-                    raise ValueError(
-                        f"CCITT: bad mode code at bit {bits.pos}")
-                bits.pos += w
-                a1 = b1 + d
-                if a1 < 0 or a1 > columns:
-                    raise ValueError("CCITT: vertical move out of row")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        # drop the sentinel transitions at exactly `columns` that only
-        # closed the row, keeping real ones
-        row = np.zeros(columns, dtype=bool)
-        pos = 0
-        col = False
-        for c in cur:
-            c = min(c, columns)
-            if col:
-                row[pos:c] = True
-            pos = c
-            col = not col
-        if col and pos < columns:
-            row[pos:] = True
+        cur = _decode_2d_row(bits, ref, columns)
+        row = _row_from_changes(cur, columns)
         out_rows.append(row)
-        ref = [c for c in cur if c < columns] + [columns, columns]
-        # normalize ref to strict changes (remove duplicate/sentinel
-        # handling artifacts): rebuild from the row itself
-        flips = np.flatnonzero(np.diff(
-            np.concatenate([[False], row]).astype(np.int8)) != 0)
-        ref = flips.tolist()
+        ref = _row_changes(row)
     if rows is not None and len(out_rows) != rows:
         raise ValueError(
             f"CCITT: decoded {len(out_rows)} rows, expected {rows}")
+    coding_black = np.array(out_rows, dtype=bool).reshape(-1, columns)
+    bit = coding_black if black_is_1 else ~coding_black
+    return np.where(bit, np.uint8(255), np.uint8(0))
+
+
+def _try_eol(bits: _Bits) -> bool:
+    """Consume one EOL (>= 11 zeros then a 1 — fill bits tolerated,
+    T.4 §4.1.2); False (position restored) when absent."""
+    save = bits.pos
+    zeros = 0
+    while bits.pos < bits.n and zeros <= 64:
+        if bits.bit():
+            if zeros >= 11:
+                return True
+            bits.pos = save
+            return False
+        zeros += 1
+    bits.pos = save
+    return False
+
+
+def _decode_1d_row(bits: _Bits, columns: int) -> np.ndarray:
+    """One MH (T.4 1-D) row: alternating white/black total runs from
+    column 0; must land exactly on `columns`."""
+    row = np.zeros(columns, dtype=bool)
+    pos = 0
+    white = True
+    while pos < columns:
+        run = _read_run(bits, white)
+        end = pos + run
+        if end > columns:
+            raise ValueError("CCITT: 1-D run past row end")
+        if not white:
+            row[pos:end] = True
+        pos = end
+        white = not white
+    return row
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None,
+              k: int = 0, black_is_1: bool = False,
+              byte_align: bool = False) -> np.ndarray:
+    """Decode a G3 (/K >= 0) CCITT stream to an HxW uint8 GRAY image.
+
+    K = 0: pure 1-D Modified Huffman rows, optional EOLs between them.
+    K > 0: mixed mode — when a row follows an EOL, a tag bit selects
+    1-D (1) or 2-D (0) coding for it (T.4 §4.2.1); 2-D rows reuse the
+    G4 mode decoder against the previous row.  Six consecutive EOLs
+    (RTC) end the image.  Same double-inversion bit-sense contract as
+    ``decode_g4``."""
+    if byte_align:
+        raise NotImplementedError("/EncodedByteAlign G3")
+    bits = _Bits(data)
+    out_rows: list[np.ndarray] = []
+    ref: list[int] = []
+    while True:
+        if rows is not None and len(out_rows) >= rows:
+            break
+        if bits.pos >= bits.n:
+            break
+        # EOL(+tag) units: in K>0 every EOL is followed by a tag bit
+        # (1 = 1-D, 0 = 2-D), including inside the RTC sequence
+        two_d = False
+        if _try_eol(bits):
+            eols = 1
+            while True:
+                if k > 0:
+                    if bits.pos >= bits.n:
+                        break
+                    two_d = bits.bit() == 0
+                if _try_eol(bits):
+                    eols += 1
+                    continue
+                break
+            if eols >= 6 or bits.pos >= bits.n:
+                break  # RTC / trailing EOLs
+        if bits.pos >= bits.n:
+            break
+        if two_d:
+            cur = _decode_2d_row(bits, ref, columns)
+            row = _row_from_changes(cur, columns)
+        else:
+            row = _decode_1d_row(bits, columns)
+        out_rows.append(row)
+        ref = _row_changes(row)
+    if rows is not None and len(out_rows) != rows:
+        raise ValueError(
+            f"CCITT: decoded {len(out_rows)} rows, expected {rows}")
+    if not out_rows:
+        raise ValueError("CCITT: empty G3 stream")
     coding_black = np.array(out_rows, dtype=bool).reshape(-1, columns)
     bit = coding_black if black_is_1 else ~coding_black
     return np.where(bit, np.uint8(255), np.uint8(0))

@@ -1064,23 +1064,32 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, str, np.ndarray]]:
                 continue
             if b"CCITTFaxDecode" in filters or b"CCF" in filters:
                 # scanned-fax bitmap (e.g. the reference's own
-                # Texas-Holdem fixture): pure-G4 decode, honoring
-                # BlackIs1 and an optional /Decode [1 0] flip
+                # Texas-Holdem fixture): G4 (/K < 0) or — round 4 —
+                # G3 (/K >= 0, the spec default when /K is absent),
+                # honoring BlackIs1 and an optional /Decode [1 0] flip
                 km = re.search(rb"/K\s+(-?\d+)", body)
                 cm = re.search(rb"/Columns\s+(\d+)", body)
                 rm = re.search(rb"/Rows\s+(\d+)", body)
-                if km is None or int(km.group(1)) >= 0 or cm is None:
-                    continue  # G3/mixed not implemented
+                if cm is None:
+                    continue
+                k = int(km.group(1)) if km else 0
                 try:
-                    from .ccitt import decode_g4
+                    from .ccitt import decode_g3, decode_g4
 
-                    img = decode_g4(
-                        raw,
+                    kwargs = dict(
                         columns=int(cm.group(1)),
                         rows=int(rm.group(1)) if rm else None,
                         black_is_1=bool(
                             re.search(rb"/BlackIs1\s+true", body)),
                     )
+                    if k < 0:
+                        img = decode_g4(raw, **kwargs)
+                    else:
+                        img = decode_g3(
+                            raw, k=k,
+                            byte_align=bool(re.search(
+                                rb"/EncodedByteAlign\s+true", body)),
+                            **kwargs)
                     if re.search(rb"/Decode\s*\[\s*1\s+0\s*\]", body):
                         img = np.uint8(255) - img
                     out.append((page_idx, name.decode("latin-1"), img))
