@@ -703,3 +703,45 @@ def test_vector_and_embedded_regions_do_not_collide():
     names = [d["image_url"] for d in res]
     assert len(names) == len(set(names)) == 2
     assert names == ["image_1_1.png", "image_1_2.png"]
+
+
+def test_vector_figure_inside_form_xobject():
+    """A vector figure drawn inside a /Subtype /Form XObject (with a
+    /Matrix translate) reaches the raster channel through the Do
+    recursion."""
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import (
+        rasterize_pdf_vector_pages,
+        vector_figure_ops,
+    )
+
+    fig = vector_figure_ops(cx=150, cy=150, r=100)
+    form = (b"5 0 obj\n<< /Type /XObject /Subtype /Form "
+            b"/Matrix [1 0 0 1 120 260] /BBox [0 0 400 400] /Length "
+            + str(len(fig)).encode() + b" >>\nstream\n" + fig
+            + b"\nendstream\nendobj\n")
+    content = b"q /Fig1 Do Q"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+           b"<< /Fig1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           + form + b"trailer\n<< /Root 1 0 R >>\n")
+    pages = rasterize_pdf_vector_pages(pdf)
+    assert len(pages) == 1
+    _, canvas = pages[0]
+    ys, xs = np.nonzero(canvas < 250)
+    # figure center translated by the /Matrix: user (270, 410) ->
+    # device x 270, y = 792 - 410 = 382; radius 100
+    assert abs((xs.min() + xs.max()) / 2 - 270) < 4
+    assert abs((ys.min() + ys.max()) / 2 - 382) < 4
+    # the classifier's P3 flag sees ink that lives only in the form
+    import pandas as pd
+
+    from vision_parse_spark.functions.pdf import extract_pdf_text_series
+
+    _, ok, vec = extract_pdf_text_series(
+        pd.Series([pdf.decode("latin-1")]), with_vector_flag=True)
+    assert bool(ok.iloc[0]) and bool(vec.iloc[0])

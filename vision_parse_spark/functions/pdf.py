@@ -1284,11 +1284,17 @@ def _luma(nums: list[float]) -> float:
     return 0.0
 
 
-def _raster_content(content: bytes, w: int, h: int,
-                    base: tuple) -> np.ndarray | None:
-    """Rasterize one page's vector paint ops onto a lazily-allocated
-    white canvas; None when the page has no non-near-white ink."""
-    canvas: np.ndarray | None = None
+def _raster_content(content: bytes, w: int, h: int, base: tuple,
+                    resolver=None, depth: int = 0,
+                    state: dict | None = None) -> np.ndarray | None:
+    """Rasterize one content stream's vector paint ops onto a lazily-
+    allocated white canvas; None when nothing painted non-near-white
+    ink.  ``resolver(name) -> (content, matrix, sub_resolver) | None``
+    inlines /Subtype /Form XObjects on ``Do`` (recursion bounded by
+    ``depth``), sharing the canvas through ``state``."""
+    root = state is None
+    if state is None:
+        state = {"canvas": None, "ink": 255}
     ctm = base
     fill, stroke, lw = 0.0, 0.0, 1.0
     gstack: list = []
@@ -1297,16 +1303,14 @@ def _raster_content(content: bytes, w: int, h: int,
     start: tuple | None = None
     stack: list = []
     in_array: list | None = None
-    ink = 255
 
     def dev(x: float, y: float) -> tuple:
         return _apply_mat(ctm, x, y)
 
     def ensure() -> np.ndarray:
-        nonlocal canvas
-        if canvas is None:
-            canvas = np.full((h, w), 255, dtype=np.uint8)
-        return canvas
+        if state["canvas"] is None:
+            state["canvas"] = np.full((h, w), 255, dtype=np.uint8)
+        return state["canvas"]
 
     def flat_path() -> list[list[tuple]]:
         return subpaths + ([list(cur)] if len(cur) > 1 else [])
@@ -1378,6 +1382,16 @@ def _raster_content(content: bytes, w: int, h: int,
                 rect.append(rect[0])
                 subpaths.append(rect)
                 cur, start = [], None
+            elif op == b"Do" and resolver is not None and depth < 4:
+                names = [t for t in stack
+                         if isinstance(t, tuple) and t[0] == "name"]
+                if names:
+                    form = resolver(names[-1][1][1:])  # strip '/'
+                    if form is not None:
+                        fcontent, fmatrix, fresolver = form
+                        _raster_content(
+                            fcontent, w, h, _mat_mul(fmatrix, ctm),
+                            fresolver, depth + 1, state)
             elif op in _PAINT_FILL or op in _PAINT_BOTH \
                     or op in _PAINT_STROKE or op == b"n":
                 if op in (b"b", b"b*", b"s") and start is not None \
@@ -1390,16 +1404,62 @@ def _raster_content(content: bytes, w: int, h: int,
                     if op in _PAINT_FILL or op in _PAINT_BOTH:
                         v = int(round(max(0.0, min(1.0, fill)) * 255))
                         if _fill_polys(ensure(), path, v):
-                            ink = min(ink, v)
+                            state["ink"] = min(state["ink"], v)
                     if op in _PAINT_STROKE or op in _PAINT_BOTH:
                         v = int(round(max(0.0, min(1.0, stroke)) * 255))
                         if _stroke_polys(ensure(), path, v, lw_dev):
-                            ink = min(ink, v)
+                            state["ink"] = min(state["ink"], v)
                 subpaths, cur, start = [], [], None
             stack.clear()
-    if canvas is None or ink > 245:
+    if not root:
         return None
-    return canvas
+    if state["canvas"] is None or state["ink"] > 245:
+        return None
+    return state["canvas"]
+
+
+_FORM_MATRIX_RE = re.compile(rb"/Matrix\s*\[([^\]]*)\]")
+
+
+def _form_resolver(objs: dict[int, _Obj], resources: bytes):
+    """resolver(name_bytes) for /Subtype /Form XObjects under the
+    given resources: returns (decoded content, /Matrix, resolver over
+    the FORM's own resources)."""
+    xmap = _named_refs(resources, b"XObject")
+    if not xmap:
+        return None
+
+    def resolve(name: bytes):
+        num = xmap.get(name)
+        obj = objs.get(num) if num is not None else None
+        if obj is None or obj.stream is None \
+                or not re.search(rb"/Subtype\s*/Form\b", obj.body):
+            return None
+        try:
+            content = _decode_stream(obj)
+        except (zlib.error, ValueError):
+            return None
+        matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        mm = _FORM_MATRIX_RE.search(obj.body)
+        if mm:
+            try:
+                vals = [float(x) for x in mm.group(1).split()]
+                if len(vals) == 6:
+                    matrix = tuple(vals)
+            except ValueError:
+                pass
+        sub_res = b""
+        rm = re.search(rb"/Resources\s*<<", obj.body)
+        if rm:
+            sub_res = obj.body[rm.end() - 2:
+                               _dict_extent(obj.body, rm.end() - 2)]
+        else:
+            rr = _RESOURCES_REF_RE.search(obj.body)
+            if rr and int(rr.group(1)) in objs:
+                sub_res = objs[int(rr.group(1))].body
+        return content, matrix, _form_resolver(objs, sub_res)
+
+    return resolve
 
 
 def rasterize_pdf_vector_pages(
@@ -1409,7 +1469,8 @@ def rasterize_pdf_vector_pages(
     stream paints vector ink darker than near-white — the raster
     fallback that lets vector-drawn figures reach the same CV region
     chain the reference runs on its pdfium page bitmaps
-    (utils.py:62-141)."""
+    (utils.py:62-141).  /Subtype /Form XObjects are inlined under
+    their /Matrix (nested forms bounded at depth 4)."""
     objs, order = _parse(data)
     out: list[tuple[int, np.ndarray]] = []
     for page_idx, p in enumerate(order):
@@ -1424,7 +1485,8 @@ def rasterize_pdf_vector_pages(
         h = max(1, min(max_dim, int(round(bh * scale))))
         sx, sy = w / bw, h / bh  # honors the max_dim clamp
         base = (sx, 0.0, 0.0, -sy, -box[0] * sx, h + box[1] * sy)
-        canvas = _raster_content(content, w, h, base)
+        resolver = _form_resolver(objs, _resources_dict(objs, p))
+        canvas = _raster_content(content, w, h, base, resolver)
         if canvas is not None:
             out.append((page_idx, canvas))
     return out
@@ -1463,6 +1525,21 @@ def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n",
                     _content_text(content, _page_fonts(objs, p)))
                 if with_vector_flag and not has_ink:
                     has_ink = _VECTOR_PAINT_RE.search(content) is not None
+                if with_vector_flag and not has_ink:
+                    # depth-1 Form XObjects can carry the figure's ink
+                    res = _resources_dict(objs, p)
+                    for num in _named_refs(res, b"XObject").values():
+                        obj = objs.get(num)
+                        if obj is None or obj.stream is None or \
+                                not re.search(rb"/Subtype\s*/Form\b",
+                                              obj.body):
+                            continue
+                        try:
+                            if _VECTOR_PAINT_RE.search(_decode_stream(obj)):
+                                has_ink = True
+                                break
+                        except (zlib.error, ValueError):
+                            continue
             out.append(page_sep.join(page_texts))
             ok.append(True)
             if with_vector_flag:

@@ -83,6 +83,13 @@ def curate(
         .join(qual, id_col, "left_semi")
         .join(rep, id_col, "left_semi")
     )
+    # materialize the gated survivors ONCE: the LSH dedup reads its
+    # input three times (signature pass + both sides of the verify
+    # join) — without the barrier each read would recompute the
+    # repetition explode-agg and quality regexes (measured 1.9x slower
+    # at sf0.1).  localCheckpoint (not persist) so the context cleaner
+    # reclaims it on GC.
+    gated = gated.localCheckpoint(eager=True)
     survivors = minhash_dedup(
         gated, id_col, text_col, jaccard_threshold=jaccard_threshold,
     )
