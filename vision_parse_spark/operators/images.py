@@ -436,6 +436,15 @@ def extract_images_from_marker_text(
         except (PdfParseError, ValueError):
             vector_pages = []
         for page_idx, canvas in vector_pages:
+            # crop to the ink bounding box first: figures cover a small
+            # fraction of the page, and the CV chain is O(pixels) — the
+            # white-border composite (page_from_image_array) restores
+            # the margin the P4 page-fraction bound needs, exactly like
+            # the embedded-image channel (measured 4x cheaper/payload)
+            ys, xs = np.nonzero(canvas < 250)
+            if len(ys) == 0:
+                continue
+            canvas = canvas[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
             # antialias the hard-edged scanline raster (a real renderer
             # — the reference's pdfium — draws soft edges; without this
             # the P5 Laplacian-variance bound rejects every crisp
@@ -443,7 +452,7 @@ def extract_images_from_marker_text(
             canvas = _sep_convolve(
                 canvas.astype(np.float64), _gaussian_kernel1d(5)
             ).astype(np.uint8)
-            page = np.repeat(canvas[:, :, None], 3, axis=2)
+            page = page_from_image_array(canvas)
             results.extend(
                 extract_images(
                     page, image_mode, page_idx,
