@@ -320,6 +320,21 @@ def _q_curate(spark, sf_dir):
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: training docs sharing >= 2 distinct
+    # word 5-grams with the eval split (doc_id % 10 == 0) are dropped;
+    # broadcast eval grams, zero corpus shuffle (the leakage guard
+    # every pretraining run needs — Gopher's rule at 13-grams; 5 here
+    # because the synthetic vocabulary is small).  DuckDB replays the
+    # same shingle construction + distinct-gram counting.
+    from vision_parse_spark.operators.decontaminate import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter("doc_id % 10 = 0")
+    tr = d.filter("doc_id % 10 != 0")
+    return decontaminate(tr, ev, n=5, min_hits=2).select("doc_id")
+
+
 def _q_pack_contexts(spark, sf_dir):
     # sequence packing (concatenate-and-cut): window cumsum over the
     # id-ordered token stream -> bin/offset; pure window arithmetic,
@@ -634,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
+        "decontaminate": _q_decontaminate,
         "pack_contexts": _q_pack_contexts,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1101,6 +1117,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup": minhash_dedup_sql,
         "minhash_incremental": minhash_incremental_sql,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(
+                                 range(len(t) - 4),
+                                 i -> array_to_string(t[i + 1 : i + 5],
+                                                      ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            eg AS (
+              SELECT DISTINCT unnest(s) AS gram FROM sh
+              WHERE doc_id % 10 = 0),
+            tg AS (
+              SELECT doc_id, unnest(s) AS gram FROM sh
+              WHERE doc_id % 10 != 0),
+            hits AS (
+              SELECT doc_id, count(DISTINCT tg.gram) AS n_hits
+              FROM tg JOIN eg USING (gram) GROUP BY doc_id),
+            cont AS (SELECT doc_id FROM hits WHERE n_hits >= 2)
+            SELECT d.doc_id FROM documents d
+            ANTI JOIN cont USING (doc_id)
+            WHERE d.doc_id % 10 != 0
+        """,
         "dup_clusters": dup_clusters_sql,
         "scrub_pii": _scrub_sql(),
         "pack_contexts": """

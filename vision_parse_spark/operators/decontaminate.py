@@ -1,0 +1,72 @@
+"""Benchmark decontamination — drop training documents that share
+word n-grams with an evaluation set (the standard leakage guard run
+before every pretraining job; e.g. GPT-3 App. C / Gopher's 13-gram
+rule use exactly this shape).
+
+Not present in the reference (it has no corpus-level ops) — part of
+the training-data operator family the task brief adds.
+
+Scale design: the eval set is SMALL (benchmark suites — thousands of
+docs) while the train side is the 100 TB corpus, so the plan must
+never shuffle the corpus:
+
+* eval grams: explode -> distinct -> **broadcast** (bounded by the
+  eval suite's vocabulary, not the corpus);
+* train side: narrow shingle explode, broadcast-hash semi join against
+  the eval grams (zero corpus shuffle), then one map-side-combining
+  count per contaminated doc id (only HIT rows reach the agg — a tiny
+  fraction) and a broadcast anti join back onto the corpus.
+* `min_hits` trades recall for junk-gram robustness (stopword-only
+  grams collide by chance; requiring >= k distinct shared grams is the
+  Gopher-style mitigation at small n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import with_shingles
+
+
+def contamination_hits(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_hits): distinct eval n-grams each training doc shares
+    with the eval set (docs with zero hits are absent)."""
+    eval_grams = (
+        with_shingles(eval_df.select(text_col), text_col, n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    train_grams = (
+        with_shingles(train_df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode("shingles").alias("gram"))
+    )
+    hits = train_grams.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("gram").alias("n_hits"))
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training rows whose shared-distinct-n-gram count with the eval
+    set is below ``min_hits`` (the decontaminated corpus)."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    contaminated = (
+        contamination_hits(train_df, eval_df, id_col, text_col, n)
+        .filter(F.col("n_hits") >= min_hits)
+        .select(id_col)
+    )
+    return train_df.join(contaminated, id_col, "left_anti")
