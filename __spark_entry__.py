@@ -379,6 +379,21 @@ def _q_hash_split(spark, sf_dir):
     return with_split(d, "doc_id", train_frac=0.8).select("doc_id", "split")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # per-stratum deterministic sampling (domain rebalancing): keep
+    # all of src0, half of src1, a quarter of src2, 10% of the rest —
+    # same md5 bucket as hash_split with a per-stratum threshold;
+    # narrow codegen'd filter, exactly replayable in DuckDB
+    from vision_parse_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
 def _q_minhash_signature(spark, sf_dir):
     # DuckDB-checkable MinHash: md5-based shingle hashes (portable
     # across engines, unlike xxhash64/pandas-hash) with 4 affine
@@ -646,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "minhash_signature": _q_minhash_signature,
         "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
         "scrub_pii": _q_scrub_pii,
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
@@ -1206,6 +1222,16 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 1000 < 800
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000
+                  < CASE source WHEN 'src0' THEN 1000000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 250000
+                                ELSE 100000 END
         """,
         "ann_lsh": f"""
             WITH b AS (

@@ -43,3 +43,64 @@ def test_bucket_is_narrow_no_shuffle(spark):
     with redirect_stdout(buf):
         with_split(d, "doc_id").explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    from vision_parse_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "keep" if i % 3 == 0 else ("half" if i % 3 == 1 else "drop"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    out = stratified_sample(
+        df, "doc_id", "stratum",
+        {"keep": 1.0, "half": 0.5}, default_fraction=0.0)
+    counts = {r["stratum"]: r["count"] for r in
+              out.groupBy("stratum").count().collect()}
+    assert counts["keep"] == 1000          # fraction 1.0 keeps all
+    assert "drop" not in counts            # default 0.0 drops all
+    assert 380 <= counts["half"] <= 620    # ~0.5 of 1000
+
+
+def test_stratified_sample_deterministic_and_consistent(spark):
+    """Same key -> same membership regardless of partitioning, and a
+    row sampled at fraction f is also sampled at any f' > f (nested
+    thresholds — the property that makes downsampling reproducible)."""
+    from vision_parse_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(2000)], ["doc_id", "stratum"])
+    a = {r.doc_id for r in stratified_sample(
+        df.repartition(3), "doc_id", "stratum", {"s": 0.3}).collect()}
+    b = {r.doc_id for r in stratified_sample(
+        df.repartition(11), "doc_id", "stratum", {"s": 0.3}).collect()}
+    assert a == b
+    wider = {r.doc_id for r in stratified_sample(
+        df, "doc_id", "stratum", {"s": 0.6}).collect()}
+    assert a <= wider
+
+
+def test_stratified_sample_rejects_bad_fractions(spark):
+    import pytest
+
+    from vision_parse_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "stratum"])
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "stratum", {"x": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "stratum", {}, default_fraction=-0.1)
+
+
+def test_stratified_sample_plan_is_narrow(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from vision_parse_spark.operators.sampling import stratified_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(df, "doc_id", "source", {"src0": 0.5},
+                            default_fraction=0.1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -44,6 +44,33 @@ def with_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the reproducible analog of
+    ``df.sampleBy`` (domain/language/quality rebalancing: keep 100% of
+    a rare stratum, downsample a dominant one).  Same md5 bucket as
+    ``hash_sample`` with a per-stratum threshold, so membership is
+    stable across runs/engines/partitionings and the whole predicate
+    stays a narrow codegen'd filter (no shuffle, no UDF)."""
+    for k, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {k!r} out of [0,1]: {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction out of [0,1]: {default_fraction}")
+    b = hash_bucket(key_col, buckets)
+    thr: Column = F.lit(int(default_fraction * buckets))
+    for k, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == k,
+                     F.lit(int(frac * buckets))).otherwise(thr)
+    return df.filter(b < thr)
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,
