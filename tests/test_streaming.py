@@ -197,3 +197,54 @@ def test_foreach_batch_upsert_updates_keys(spark, tmp_path):
     assert back.filter((F.col("turn_idx") < 3)
                        & ~F.col("markdown").startswith("rev2:")).count() == 0
     assert verify_lineage(spark, out_dir)
+
+
+def test_foreach_batch_dedup_append(spark, tmp_path):
+    """Streaming incremental dedup: batch 0 self-dedups; batch 1 drops
+    corpus near-dups AND its own internal dups; replay of a batch is a
+    no-op; a crashed batch (data written, manifest missing) converges
+    on replay without shadowing its own rows."""
+    from vision_parse_spark.streaming.stream import (
+        foreach_batch_dedup_append,
+    )
+
+    path = str(tmp_path / "corpus")
+    sink = foreach_batch_dedup_append(path)
+
+    b0 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+         (2, "completely different text about spark shuffle tuning")],
+        ["doc_id", "text"])
+    sink(b0, 0)
+    kept0 = {r.doc_id for r in spark.read.parquet(path).collect()}
+    assert kept0 == {0, 2}
+
+    b1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),  # corpus near-dup
+         (11, "a genuinely novel document about parquet bucketing"),
+         (12, "a genuinely novel document about parquet bucketing"),   # in-batch dup
+         (13, "fresh unrelated prose on arrow batch sizing limits")],
+        ["doc_id", "text"])
+    sink(b1, 1)
+    kept = {r.doc_id for r in spark.read.parquet(path).collect()}
+    assert kept == {0, 2, 11, 13}
+
+    # replay with manifest present: no-op
+    sink(b1, 1)
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} \
+        == {0, 2, 11, 13}
+
+    # crash simulation: batch 2's data written but manifest lost ->
+    # replay must not treat its own partial rows as corpus duplicates
+    import os
+
+    b2 = spark.createDataFrame(
+        [(20, "entirely new content for the crash replay scenario")],
+        ["doc_id", "text"])
+    sink(b2, 2)
+    os.remove(os.path.join(path, "_lineage", "stream",
+                           "batch_0000000002.json"))
+    sink(b2, 2)  # replay
+    rows = spark.read.parquet(path).filter("doc_id = 20").collect()
+    assert len(rows) == 1  # survived, exactly once

@@ -188,3 +188,110 @@ def turn_rate_per_conv(
             "conv_id", "n_turns", "n_roles",
         )
     )
+
+
+def foreach_batch_dedup_append(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+):
+    """Streaming INCREMENTAL-DEDUP sink: each micro-batch keeps only
+    rows that near-duplicate neither the accumulated corpus nor each
+    other (``minhash_dedup_incremental(dedup_within_batch=True)`` —
+    the day-2 continuous-crawl shape), then appends the survivors
+    under ``_batch=<id>`` partitions.
+
+    Exactly-once under replay, composing three guards:
+
+    * the corpus side of the dedup reads only COMMITTED batches
+      (manifest-gated ``_batch`` partition pruning), so a crashed
+      attempt's partial output can never shadow its own replay's rows
+      as "duplicates";
+    * the data write uses dynamic partition overwrite of the batch's
+      own ``_batch=<id>`` partition — a replay overwrites exactly
+      itself;
+    * a batch whose manifest exists is skipped outright.
+
+    At corpus scale the signature side of the committed corpus is the
+    recomputation to watch: the operator reads corpus TEXTS each batch
+    (signatures recomputed per batch).  The production evolution is a
+    persisted signature table updated alongside the corpus — the
+    operator boundary is unchanged, so that swap is local to this
+    function.
+    """
+    import json
+    import os
+    import time
+
+    from ..operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_dedup_portable,
+    )
+    from ..sinks.merge import LINEAGE_DIR, _row_checksum_agg
+
+    stream_lineage = os.path.join(path, LINEAGE_DIR, "stream")
+
+    def _committed() -> list[int]:
+        if not os.path.isdir(stream_lineage):
+            return []
+        out = []
+        for name in sorted(os.listdir(stream_lineage)):
+            if name.startswith("batch_") and name.endswith(".json"):
+                out.append(int(name[len("batch_"):-len(".json")]))
+        return out
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_path = os.path.join(stream_lineage,
+                                     f"batch_{batch_id:010d}.json")
+        if os.path.exists(manifest_path):
+            return
+        spark = batch_df.sparkSession
+        new = batch_df.select(id_col, text_col)
+        committed = [b for b in _committed() if b != int(batch_id)]
+        if committed:
+            corpus = (
+                spark.read.parquet(path)
+                .filter(F.col("_batch").isin(committed))
+                .select(id_col, text_col)
+            )
+            survivors = minhash_dedup_incremental(
+                new, corpus, id_col, text_col,
+                jaccard_threshold=jaccard_threshold,
+                dedup_within_batch=True,
+            )
+        else:  # first batch: self-dedup only
+            survivors = minhash_dedup_portable(
+                new, id_col, text_col,
+                jaccard_threshold=jaccard_threshold)
+        survivors = survivors.withColumn(
+            "_batch", F.lit(int(batch_id))).persist()
+        stats = survivors.groupBy().agg(
+            F.count(F.lit(1)).alias("rows"),
+            _row_checksum_agg([id_col], text_col).alias("checksum"),
+        ).collect()[0]
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            if int(stats["rows"] or 0) > 0:
+                (survivors.write.mode("overwrite").partitionBy("_batch")
+                 .parquet(path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev_mode)
+            survivors.unpersist()
+        os.makedirs(stream_lineage, exist_ok=True)
+        manifest = {
+            "batch_id": int(batch_id),
+            "row_count": int(stats["rows"] or 0),
+            "checksum": str(stats["checksum"]),
+            "committed_unix": int(time.time()),
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, manifest_path)
+
+    return write_batch
