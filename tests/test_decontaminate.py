@@ -63,3 +63,28 @@ def test_decontaminate_plan_broadcasts_eval_grams(corpus, eval_set):
 def test_decontaminate_rejects_bad_min_hits(corpus, eval_set):
     with pytest.raises(ValueError):
         decontaminate(corpus, eval_set, min_hits=0)
+
+
+def test_arrow_shingles_equal_catalyst_shingles(spark):
+    """make_shingle_udf (the Arrow kernel decontamination explodes)
+    must produce EXACTLY with_shingles' gram sets — the identity that
+    keeps the DuckDB oracle valid for the Arrow path."""
+    from vision_parse_spark.operators.dedup import (
+        make_shingle_udf,
+        with_shingles,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").union(spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "one"), (9004, "two words")],
+        ["doc_id", "text"]))
+    for n in (3, 5):
+        cat = {(r.doc_id, tuple(r.shingles)) for r in
+               with_shingles(docs, "text", n).select("doc_id", "shingles")
+               .collect()}
+        arrow = {(r.doc_id, tuple(r.s)) for r in
+                 docs.select("doc_id",
+                             make_shingle_udf(n)(F.col("text")).alias("s"))
+                 .collect()}
+        assert cat == arrow, f"n={n}"

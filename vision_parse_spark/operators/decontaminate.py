@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import with_shingles
+from .dedup import make_shingle_udf
 
 
 def contamination_hits(
@@ -37,16 +37,19 @@ def contamination_hits(
     n: int = 3,
 ) -> DataFrame:
     """(id, n_hits): distinct eval n-grams each training doc shares
-    with the eval set (docs with zero hits are absent)."""
+    with the eval set (docs with zero hits are absent).
+
+    Shingling runs through the Arrow kernel (``make_shingle_udf`` —
+    gram sets identical to the Catalyst ``with_shingles`` by
+    construction; the interpreted array lambdas are ~10x slower on the
+    corpus side, measured 8.5s -> ~1s at sf0.1)."""
+    sh = make_shingle_udf(n)
     eval_grams = (
-        with_shingles(eval_df.select(text_col), text_col, n)
-        .select(F.explode("shingles").alias("gram"))
+        eval_df.select(F.explode(sh(F.col(text_col))).alias("gram"))
         .distinct()
     )
-    train_grams = (
-        with_shingles(train_df.select(id_col, text_col), text_col, n)
-        .select(id_col, F.explode("shingles").alias("gram"))
-    )
+    train_grams = train_df.select(
+        id_col, F.explode(sh(F.col(text_col))).alias("gram"))
     hits = train_grams.join(F.broadcast(eval_grams), "gram")
     return hits.groupBy(id_col).agg(
         F.countDistinct("gram").alias("n_hits"))

@@ -142,6 +142,22 @@ def _shingle_lists(texts: pd.Series, n: int) -> pd.Series:
     return toks.map(grams)
 
 
+def make_shingle_udf(n: int = 3):
+    """Arrow-batched shingle UDF: distinct word n-grams per doc, the
+    EXACT gram set ``with_shingles`` produces (lower/trim/\\s+ split,
+    short docs collapse to one joined gram) — Spark's interpreted
+    higher-order array lambdas are ~10x slower at this work, so ops
+    that only need the gram SET (decontamination) explode this
+    instead."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def shingles(texts: pd.Series) -> pd.Series:
+        return _shingle_lists(texts, n)
+
+    return shingles
+
+
 def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
     """Arrow-batched numpy MinHash: one (num_perm x total_shingles)
     matrix op per batch, segmented min via ``np.minimum.reduceat``.
