@@ -314,6 +314,18 @@ def _q_curate(spark, sf_dir):
     # -> MinHash near-dedup -> PII scrub.  Every stage is individually
     # oracled; this query proves the COMPOSITION end to end (DuckDB
     # replays all four stages and the semi-join structure).
+    #
+    # Parity note (round-4 design, per the round-3 verdict): the
+    # PRODUCTION dedup stage runs the Arrow xxhash signature path
+    # while the oracle replays the portable md5 construction — both
+    # verify candidates with EXACT jaccard >= 0.5, so they differ only
+    # in LSH candidate RECALL at the threshold boundary.  Equality is
+    # therefore a measured property of the corpus (pytest-asserted on
+    # full and gated subsets), not structural; a pair at jaccard ~0.5
+    # caught by one banding and not the other would split them.  The
+    # alternative (shipping the portable construction in production,
+    # as pre-round-4) was rejected as the bigger evil: it benchmarks
+    # and ships the variant dedup.py explicitly marks do-not-ship.
     from vision_parse_spark.operators.curation import curate
 
     return curate(_t(spark, sf_dir, "documents")).select(

@@ -254,3 +254,16 @@ def test_g3_image_xobject_in_pdf():
     _, name, arr = ims[0]
     assert name == "Fax" and arr.shape == (8, 32)
     assert np.array_equal(arr == 0, img)
+
+
+def test_zero_columns_raises_not_loops():
+    """/Columns 0 must raise, not loop forever appending empty rows
+    (round-4 review)."""
+    import pytest
+
+    from vision_parse_spark.functions.ccitt import decode_g3, decode_g4
+
+    with pytest.raises(ValueError):
+        decode_g3(b"\x00\x00", columns=0)
+    with pytest.raises(ValueError):
+        decode_g4(b"\x00\x00", columns=0)

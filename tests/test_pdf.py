@@ -745,3 +745,87 @@ def test_vector_figure_inside_form_xobject():
     _, ok, vec = extract_pdf_text_series(
         pd.Series([pdf.decode("latin-1")]), with_vector_flag=True)
     assert bool(ok.iloc[0]) and bool(vec.iloc[0])
+
+
+def test_lzw_malformed_codes_raise_value_error():
+    """Corrupt LZW streams must raise ValueError (caught by the batch
+    fallback chain), never IndexError/TypeError (round-4 review)."""
+    from vision_parse_spark.functions.pdf import _lzw
+
+    # 9-bit codes: 258 right after the implicit table start
+    bits = format(258, "09b") + format(257, "09b")
+    bits += "0" * (-len(bits) % 8)
+    bad = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    with pytest.raises(ValueError):
+        _lzw(bad)
+    # far-out-of-range code after one literal
+    bits = format(256, "09b") + format(65, "09b") + format(400, "09b")
+    bits += "0" * (-len(bits) % 8)
+    bad = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    with pytest.raises(ValueError):
+        _lzw(bad)
+
+
+def test_lzw_large_stream_linear_time():
+    """acc trimming keeps decode linear — 200 KB in well under a
+    second (was O(n^2) bignum arithmetic)."""
+    import time
+
+    from vision_parse_spark.functions.pdf import _lzw
+
+    data = (b"abcdefgh" * 25000)  # 200 KB, highly compressible
+    enc = _lzw_encode(data)
+    t0 = time.time()
+    assert _lzw(enc) == data
+    assert time.time() - t0 < 2.0
+
+
+def test_actualtext_dict_with_array_value_survives():
+    """An array value inside the BDC property dict (bare list on the
+    operand stack) must not crash the /ActualText scan."""
+    c = (b"BT /F1 12 Tf 72 720 Td "
+         b"/Span << /D [1 2] /ActualText (gone) >> BDC (x) Tj EMC "
+         b"(kept) Tj ET")
+    assert extract_pdf_text(mini(c)) == "gonekept"
+
+
+def test_multiple_embedded_images_one_page_unique_names():
+    """Two /Image XObjects on ONE page must emit distinct region
+    names (idx numbering continues across the page's images)."""
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import make_pdf_bytes
+    from vision_parse_spark.operators.images import (
+        extract_images_from_marker_text,
+    )
+
+    def grad(w, h, base):
+        g = np.linspace(base, base + 150, w).astype(np.uint8)
+        return np.repeat(np.broadcast_to(g, (h, w))[:, :, None], 3, axis=2)
+
+    # hand-build a page with two XObjects (make_pdf_bytes supports one)
+    a, b = grad(130, 110, 40), grad(120, 125, 70)
+    import zlib as _z
+
+    def imgobj(num, arr):
+        h, w = arr.shape[:2]
+        raw = _z.compress(np.ascontiguousarray(arr).tobytes())
+        return (f"{num} 0 obj\n<< /Type /XObject /Subtype /Image "
+                f"/Width {w} /Height {h} /ColorSpace /DeviceRGB "
+                f"/BitsPerComponent 8 /Filter /FlateDecode "
+                f"/Length {len(raw)} >>\n".encode()
+                + b"stream\n" + raw + b"\nendstream\nendobj\n")
+
+    content = (b"BT (t) Tj ET q 130 0 0 110 60 500 cm /ImA Do Q "
+               b"q 120 0 0 125 300 300 cm /ImB Do Q")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+           b"<< /ImA 5 0 R /ImB 6 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           + imgobj(5, a) + imgobj(6, b)
+           + b"trailer\n<< /Root 1 0 R >>\n")
+    res = extract_images_from_marker_text(pdf.decode("latin-1"), "url", 0)
+    names = [d["image_url"] for d in res]
+    assert names == ["image_1_1.png", "image_1_2.png"]

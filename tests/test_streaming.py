@@ -248,3 +248,22 @@ def test_foreach_batch_dedup_append(spark, tmp_path):
     sink(b2, 2)  # replay
     rows = spark.read.parquet(path).filter("doc_id = 20").collect()
     assert len(rows) == 1  # survived, exactly once
+
+
+def test_foreach_batch_dedup_append_empty_first_batch(spark, tmp_path):
+    """A zero-row first batch commits an empty manifest; the NEXT
+    batch must not crash reading a corpus dir that holds only
+    _lineage (round-4 review: UNABLE_TO_INFER_SCHEMA loop)."""
+    from vision_parse_spark.streaming.stream import (
+        foreach_batch_dedup_append,
+    )
+
+    path = str(tmp_path / "corpus")
+    sink = foreach_batch_dedup_append(path)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sink(empty, 0)
+    b1 = spark.createDataFrame(
+        [(1, "first real content after an empty opening batch")],
+        ["doc_id", "text"])
+    sink(b1, 1)  # must not raise
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} == {1}

@@ -248,6 +248,8 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
     Texas-Holdem fixture: 95% of pixels are coding-black, i.e. the
     page background).  A /Decode [1 0] array flips once more —
     callers handle that."""
+    if columns < 1:
+        raise ValueError(f"CCITT: columns must be >= 1, got {columns}")
     bits = _Bits(data)
     # reference line: changing-element positions, alternating colors
     # starting white; an all-white line has no changes
@@ -317,6 +319,10 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
     ``decode_g4``."""
     if byte_align:
         raise NotImplementedError("/EncodedByteAlign G3")
+    if columns < 1:
+        # a zero-width 1-D row consumes no bits — without this guard a
+        # crafted /Columns 0 stream loops forever appending empty rows
+        raise ValueError(f"CCITT: columns must be >= 1, got {columns}")
     bits = _Bits(data)
     out_rows: list[np.ndarray] = []
     ref: list[int] = []

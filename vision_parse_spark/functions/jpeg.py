@@ -569,13 +569,7 @@ def _decode_scan(data, start, frame, scomps, qt, dc_t, ac_t, restart):
     next_rst = next(rst_iter, None)
 
     def read_huff(table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman code")
+        return _read_huff(br, table)  # shared canonical reader below
 
     preds = {c["id"]: 0 for c in comps}
     mcu_count = 0
@@ -689,9 +683,6 @@ def _decode_scan_progressive(data, start, frame, scomps, qt, dc_t, ac_t,
         single = len(order) == 1
         if single:
             c = order[0]
-            cells = [(c, bi) for by in range(c["cbh"])
-                     for bi in [by * c["bw"]]
-                     for bi in [bi]][:0]  # placeholder, built below
             cells = [(c, by * c["bw"] + bx)
                      for by in range(c["cbh"]) for bx in range(c["cbw"])]
         else:

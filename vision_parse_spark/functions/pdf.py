@@ -265,12 +265,16 @@ def _lzw(raw: bytes, early_change: int = 1) -> bytes:
         while nbits >= width:
             nbits -= width
             code = (acc >> nbits) & ((1 << width) - 1)
+            acc &= (1 << nbits) - 1  # trim consumed bits: unbounded
+            # acc makes each shift O(stream) -> O(n^2) total
             if code == 256:
                 table = table[:258]
                 width, prev = 9, None
                 continue
             if code == 257:
                 return bytes(out)
+            if code > len(table) or (prev is None and code >= len(table)):
+                raise ValueError(f"LZW: invalid code {code}")
             if prev is None:
                 entry = table[code]
             elif code < len(table):
@@ -870,8 +874,13 @@ def _content_text(content: bytes,
                              None)
                     items = d[1] if d else []
                     for j, it in enumerate(items):
-                        if (it[0] == "name" and it[1] == b"/ActualText"
+                        # dict values may be arrays (bare lists) — only
+                        # name/str tuples participate in the scan
+                        if (isinstance(it, tuple) and len(it) == 2
+                                and it[0] == "name"
+                                and it[1] == b"/ActualText"
                                 and j + 1 < len(items)
+                                and isinstance(items[j + 1], tuple)
                                 and items[j + 1][0] == "str"):
                             rep = _default_decode(items[j + 1][1])
                             if rep:

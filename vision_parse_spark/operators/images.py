@@ -426,8 +426,12 @@ def extract_images_from_marker_text(
         except (PdfParseError, ValueError):
             embedded = []
         for page_idx, _name, arr in embedded:
-            found = extract_images(page_from_image_array(arr), image_mode,
-                                   page_idx, **kwargs)
+            # continue idx numbering across a page's MULTIPLE embedded
+            # images too — per-XObject restarts would collide names
+            found = extract_images(
+                page_from_image_array(arr), image_mode, page_idx,
+                start_idx=page_region_count.get(page_idx, 0) + 1,
+                **kwargs)
             page_region_count[page_idx] = (
                 page_region_count.get(page_idx, 0) + len(found))
             results.extend(found)

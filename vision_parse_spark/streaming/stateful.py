@@ -159,7 +159,13 @@ def make_event_assembler(gap_ms: int = 5000, session_tz: str = "UTC"):
                 # the session zone, then convert to UTC for epoch math
                 ts = pdf["ts"]
                 if ts.dt.tz is None:
-                    ts = ts.dt.tz_localize(session_tz)
+                    # DST edges: fall-back wall times are ambiguous and
+                    # spring-forward ones nonexistent — pick an offset
+                    # deterministically instead of raising (the bounded
+                    # skew is harmless for a watermark timeout)
+                    ts = ts.dt.tz_localize(
+                        session_tz, ambiguous=True,
+                        nonexistent="shift_forward")
                 ts = ts.dt.tz_convert("UTC")
                 batch_max = int(ts.astype("int64").max() // 1_000_000)
                 max_ts = max(max_ts, batch_max)

@@ -232,13 +232,20 @@ def foreach_batch_dedup_append(
 
     stream_lineage = os.path.join(path, LINEAGE_DIR, "stream")
 
-    def _committed() -> list[int]:
+    def _committed_with_rows() -> list[int]:
+        """Committed batch ids that actually WROTE rows — zero-row
+        batches have a manifest but no ``_batch=`` partition, and
+        reading a path holding only ``_lineage`` would raise
+        UNABLE_TO_INFER_SCHEMA (permanently, since the manifest
+        persists)."""
         if not os.path.isdir(stream_lineage):
             return []
         out = []
         for name in sorted(os.listdir(stream_lineage)):
             if name.startswith("batch_") and name.endswith(".json"):
-                out.append(int(name[len("batch_"):-len(".json")]))
+                with open(os.path.join(stream_lineage, name)) as f:
+                    if int(json.load(f).get("row_count", 0)) > 0:
+                        out.append(int(name[len("batch_"):-len(".json")]))
         return out
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -248,7 +255,8 @@ def foreach_batch_dedup_append(
             return
         spark = batch_df.sparkSession
         new = batch_df.select(id_col, text_col)
-        committed = [b for b in _committed() if b != int(batch_id)]
+        committed = [b for b in _committed_with_rows()
+                     if b != int(batch_id)]
         if committed:
             corpus = (
                 spark.read.parquet(path)
