@@ -1231,20 +1231,31 @@ def _fill_polys(canvas: np.ndarray, subpaths: list[list[tuple]],
                           (x1 - x0) / (y1 - y0)))
             ymin = min(ymin, y0, y1)
             ymax = max(ymax, y0, y1)
+    if not edges:
+        return painted
     y_lo = max(0, int(np.floor(ymin)))
     y_hi = min(h - 1, int(np.ceil(ymax)))
-    for yy in range(y_lo, y_hi + 1):
-        yc = yy + 0.5
-        xs_hit = sorted(
-            x0 + (yc - ey0) * slope
-            for (ylo, yhi, x0, ey0, slope) in edges
-            if ylo <= yc < yhi
-        )
-        for k in range(0, len(xs_hit) - 1, 2):
-            a = max(0, int(np.ceil(xs_hit[k] - 0.5)))
-            b = min(w - 1, int(np.floor(xs_hit[k + 1] - 0.5)))
+    if y_hi < y_lo:
+        return painted
+    # vectorized crossing computation: (rows x edges) in one shot, per
+    # row only the tiny sorted-pairs loop remains
+    e = np.asarray(edges, dtype=np.float64)
+    yc = np.arange(y_lo, y_hi + 1, dtype=np.float64) + 0.5
+    valid = (e[None, :, 0] <= yc[:, None]) & (yc[:, None] < e[None, :, 1])
+    xs = np.where(
+        valid,
+        e[None, :, 2] + (yc[:, None] - e[None, :, 3]) * e[None, :, 4],
+        np.inf,
+    )
+    xs.sort(axis=1)
+    n_hits = valid.sum(axis=1)
+    for i in range(len(yc)):
+        row_hits = xs[i]
+        for k in range(0, int(n_hits[i]) - 1, 2):
+            a = max(0, int(np.ceil(row_hits[k] - 0.5)))
+            b = min(w - 1, int(np.floor(row_hits[k + 1] - 0.5)))
             if b >= a:
-                canvas[yy, a:b + 1] = val
+                canvas[y_lo + i, a:b + 1] = val
                 painted = True
     return painted
 
