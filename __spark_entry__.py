@@ -347,6 +347,20 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, n=5, min_hits=2).select("doc_id")
 
 
+def _q_contamination_hits(spark, sf_dir):
+    # the diagnostic side of decontamination: per-doc count of
+    # distinct eval 5-grams shared (what an operator would inspect
+    # before choosing min_hits); same broadcast-gram plan
+    from vision_parse_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter("doc_id % 10 = 0")
+    tr = d.filter("doc_id % 10 != 0")
+    return contamination_hits(tr, ev, n=5).select("doc_id", "n_hits")
+
+
 def _q_pack_contexts(spark, sf_dir):
     # sequence packing (concatenate-and-cut): window cumsum over the
     # id-ordered token stream -> bin/offset; pure window arithmetic,
@@ -678,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
+        "contamination_hits": _q_contamination_hits,
         "pack_contexts": _q_pack_contexts,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1172,6 +1187,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             ANTI JOIN cont USING (doc_id)
             WHERE d.doc_id % 10 != 0
+        """,
+        "contamination_hits": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(
+                                 range(len(t) - 4),
+                                 i -> array_to_string(t[i + 1 : i + 5],
+                                                      ' ')))
+                          ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            eg AS (
+              SELECT DISTINCT unnest(s) AS gram FROM sh
+              WHERE doc_id % 10 = 0),
+            tg AS (
+              SELECT doc_id, unnest(s) AS gram FROM sh
+              WHERE doc_id % 10 != 0)
+            SELECT doc_id, count(DISTINCT tg.gram) AS n_hits
+            FROM tg JOIN eg USING (gram) GROUP BY doc_id
         """,
         "dup_clusters": dup_clusters_sql,
         "scrub_pii": _scrub_sql(),

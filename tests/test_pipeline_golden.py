@@ -178,3 +178,22 @@ def test_textless_images_opt_in_harvests_figures(spark):
     assert r.status == "ok"
     assert [d["image_url"] for d in r.images] == ["image_1_1.png"]
     assert "![image_1_1.png](image_1_1.png)" in r.markdown
+
+
+def test_vector_figures_config_off_switch(spark):
+    """ExtractConfig(vector_figures=False) skips the raster-fallback
+    channel: a vector-only PDF payload yields no images entry, while
+    the default True yields one."""
+    from vision_parse_spark.functions.pdf import make_pdf_bytes
+
+    payload = make_pdf_bytes([["figure page"]], vector_figures=[0]) \
+        .decode("latin-1")
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", payload, None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    on = extract(df, ExtractConfig(image_mode="url")).first()
+    off = extract(df, ExtractConfig(image_mode="url",
+                                    vector_figures=False)).first()
+    assert len(on["images"]) == 1
+    assert len(off["images"]) == 0

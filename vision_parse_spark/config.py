@@ -59,6 +59,12 @@ class ExtractConfig:
     # data need the reference doesn't serve); rows that then yield
     # images get status 'ok'.  Default False = reference-faithful.
     textless_images: bool = False
+    # round 4: the vector raster fallback (path-drawn figures region-
+    # detected via the content-stream rasterizer).  True = reference-
+    # faithful (the reference rasterizes every page, so vector figures
+    # reach its CV chain); False skips the rasterizer for pipelines
+    # that only want embedded raster images.
+    vector_figures: bool = True
 
     def validate(self) -> "ExtractConfig":
         if self.image_mode not in (None, "url", "base64"):

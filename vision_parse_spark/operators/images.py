@@ -393,7 +393,8 @@ def page_from_image_array(arr: np.ndarray) -> np.ndarray:
 
 
 def extract_images_from_marker_text(
-    text: str, image_mode: str, page_number: int, **kwargs
+    text: str, image_mode: str, page_number: int,
+    vector_figures: bool = True, **kwargs
 ) -> list[dict]:
     """Image regions for one turn payload.
 
@@ -436,7 +437,8 @@ def extract_images_from_marker_text(
                 page_region_count.get(page_idx, 0) + len(found))
             results.extend(found)
         try:
-            vector_pages = rasterize_pdf_vector_pages(data)
+            vector_pages = rasterize_pdf_vector_pages(data) \
+                if vector_figures else []
         except (PdfParseError, ValueError):
             vector_pages = []
         for page_idx, canvas in vector_pages:

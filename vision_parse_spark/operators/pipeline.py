@@ -173,6 +173,7 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     laplacian_var_max=cfg.region_laplacian_var_max,
                     page_frac_max=cfg.region_page_frac_max,
                     detection_scale=cfg.detection_scale,
+                    vector_figures=cfg.vector_figures,
                 )
             except Exception as e:
                 if cfg.strict:
