@@ -558,6 +558,23 @@ def _q_embedding_near_dups(spark, sf_dir):
         .select("id_a", "id_b")
 
 
+def _q_embedding_dup_clusters(spark, sf_dir):
+    # connected components over the EMBEDDING near-dup graph — the
+    # image/representation-level analog of dup_clusters (pick one
+    # representative per embedding cluster); same pointer-jumping
+    # min-label propagation, DuckDB replays via the recursive-CTE
+    # transitive closure over the same verified pair set
+    from vision_parse_spark.operators.dedup import dup_clusters
+    from vision_parse_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    pairs = embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4) \
+        .select("id_a", "id_b")
+    return dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
 def _q_explode_pages(spark, sf_dir):
     # S2 page enumeration (parser.py:166-191) for multi-page payloads:
     # posexplode over form-feed split, row-per-page
@@ -704,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1361,6 +1379,26 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c
               ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.3
+        """,
+        "embedding_dup_clusters": f"""
+            WITH RECURSIVE b AS (
+              SELECT vec_id, embedding, {bucket_sql} AS lsh_bucket
+              FROM embeddings),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+              FROM b a JOIN b c
+                ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
+              WHERE list_cosine_similarity(a.embedding, c.embedding)
+                    >= 0.3),
+            sym AS (SELECT id_a AS a, id_b AS s FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, s FROM sym
+              UNION
+              SELECT r.a, m.s FROM reach r JOIN sym m ON r.s = m.a
+            )
+            SELECT a AS vec_id, least(a, min(s)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "doc_fingerprint": r"""
             WITH n AS (
