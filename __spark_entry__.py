@@ -261,9 +261,9 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from vision_parse_spark.operators.dedup import ngram_jaccard_pairs
+    from vision_parse_spark.operators.dedup import ngram_jaccard_adjacent
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return ngram_jaccard_adjacent(_t(spark, sf_dir, "documents"))
 
 
 def _q_minhash_dedup(spark, sf_dir):

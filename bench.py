@@ -162,6 +162,21 @@ def main():
     n_out = spark.read.parquet(out_path).count()
     assert n_out == BENCH_TURNS, f"row loss: {n_out} != {BENCH_TURNS}"
 
+    # --- round-5 diagnostic arm (r4 verdict item 1): the SAME extract
+    # over the SAME synth-v4 input with the vector raster channel OFF.
+    # Separates the r4 extract_pipeline delta into measured new work
+    # (the vector-figure channel's per-payload cost) vs regression.
+    # Reported OUTSIDE the summed suite so `value` stays comparable
+    # round-over-round.
+    novec_sec = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        df = spark.read.parquet(inp)
+        res = extract(df, ExtractConfig(image_mode="url",
+                                        vector_figures=False))
+        res.write.mode("overwrite").parquet(out_path + "_novec")
+        novec_sec = min(novec_sec, time.perf_counter() - t0)
+
     # --- operator queries at the sf dir (best-of-REPEATS each) ---
     qs = em.queries()
     for name in BENCH_QUERIES:
@@ -207,6 +222,11 @@ def main():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extract_turns": BENCH_TURNS,
         "extract_turns_per_sec": round(BENCH_TURNS / extract_sec, 1),
+        # diagnostic arm, outside the summed suite: vector raster
+        # channel disabled on the same input (r4 verdict item 1 —
+        # extract_pipeline minus the channel's honest new work)
+        "extract_no_vector_sec": round(novec_sec, 3),
+        "extract_no_vector_turns_per_sec": round(BENCH_TURNS / novec_sec, 1),
         # informational, outside the summed suite: the SAME extraction
         # drained through Structured Streaming (availableNow, noop
         # sink) — one code path batch+stream, quantified

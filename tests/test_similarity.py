@@ -142,3 +142,61 @@ def test_near_dups_fast_twin_matches_portable(spark):
             embedding_near_dups_fast(e, dim=dim, threshold=0.3, n_planes=4)
             .select("id_a", "id_b").collect()}
     assert slow == fast and len(slow) > 0
+
+
+def test_degenerate_bucket_matmul_is_memory_bounded():
+    """Round-4 verdict item 3: a degenerate bucket (10k all-zero
+    vectors, which all hash to the same hyperplane bucket) previously
+    allocated an n x n similarity matrix (~800 MB) inside the
+    applyInPandas kernel; the tiled verify must stay under ~150 MB of
+    numpy scratch while examining the same pairs.  Runs the kernel
+    directly (plain pandas) so tracemalloc sees the numpy buffers."""
+    import tracemalloc
+
+    import numpy as np
+    import pandas as pd
+
+    from vision_parse_spark.operators.similarity import _bucket_pairs_pdf
+
+    n, dim = 10_000, 16
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [np.zeros(dim)] * n,
+    })
+    tracemalloc.start()
+    out = _bucket_pairs_pdf(pdf, "vec_id", "embedding", threshold=0.95)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == 0          # zero vectors -> cosine 0 < threshold
+    assert peak < 150 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_tiled_bucket_pairs_match_full_matmul():
+    """Tiling must not change the pair set: compare against a direct
+    full n x n reference on a small random bucket with many pairs
+    straddling tile boundaries (tile size forced tiny)."""
+    import numpy as np
+    import pandas as pd
+
+    from vision_parse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    n, dim = 700, 8
+    vecs = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": list(vecs)})
+    m = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    full = m @ m.T
+    iu, ju = np.triu_indices(n, k=1)
+    keep = full[iu, ju] >= 0.5
+    want = set(zip(iu[keep].tolist(), ju[keep].tolist()))
+
+    old_tile = sim._BUCKET_TILE_ELEMS
+    sim._BUCKET_TILE_ELEMS = 1  # forces tile = max(128, ...) = 128 rows
+    try:
+        out = sim._bucket_pairs_pdf(pdf, "vec_id", "embedding",
+                                    threshold=0.5)
+    finally:
+        sim._BUCKET_TILE_ELEMS = old_tile
+    got = set(zip(out["id_a"].tolist(), out["id_b"].tolist()))
+    assert got == want and len(want) > 0

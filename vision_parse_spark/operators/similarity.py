@@ -179,6 +179,49 @@ def embedding_near_dups(
     )
 
 
+# peak extra doubles per similarity tile (tile_rows x bucket_size);
+# 4M doubles = 32 MB — bounds the per-bucket matmul regardless of how
+# degenerate the bucket is (round-4 verdict item 3)
+_BUCKET_TILE_ELEMS = 4_000_000
+
+
+def _bucket_pairs_pdf(pdf: pd.DataFrame, id_col: str, vec_col: str,
+                      threshold: float) -> pd.DataFrame:
+    """Within-bucket exact verify, TILED: similarity is computed in
+    row blocks of at most ``_BUCKET_TILE_ELEMS / n`` rows, so peak
+    memory is O(tile x bucket) instead of O(bucket^2).  A degenerate
+    bucket (all-zero vectors, near-identical embeddings all hashing
+    together) previously built an n x n matrix — 800 MB for a 10k-row
+    bucket — and could OOM an executor; the tiled pass caps the
+    scratch space at ~32 MB while examining exactly the same pairs."""
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+    n = len(pdf)
+    if n < 2:
+        return empty
+    ids = pdf[id_col].to_numpy()
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    tile = max(128, _BUCKET_TILE_ELEMS // n)
+    outs: list[pd.DataFrame] = []
+    for s in range(0, n, tile):
+        e = min(s + tile, n)
+        sims = m[s:e] @ m.T                      # (e-s) x n block
+        li, gj = np.nonzero(sims >= threshold)
+        gi = li + s
+        keep = gj > gi                           # upper triangle only
+        if not keep.any():
+            continue
+        ia, ib = ids[gi[keep]], ids[gj[keep]]
+        outs.append(pd.DataFrame({
+            "id_a": np.minimum(ia, ib),
+            "id_b": np.maximum(ia, ib),
+            "cosine": np.round(sims[li[keep], gj[keep]], 4),
+        }))
+    return pd.concat(outs, ignore_index=True) if outs else empty
+
+
 def embedding_near_dups_fast(
     df: DataFrame,
     dim: int,
@@ -188,11 +231,13 @@ def embedding_near_dups_fast(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Arrow hot-path twin of ``embedding_near_dups``: same hyperplane
-    buckets (Catalyst, narrow), but the within-bucket verify is ONE
-    normalized matmul per bucket group (``applyInPandas``) instead of
-    a per-pair zip_with fold — the throughput shape for the exact-
-    verify stage at scale (each vector lives in exactly one bucket, so
-    every pair is examined once; one shuffle on the bucket id).
+    buckets (Catalyst, narrow), but the within-bucket verify is a
+    TILED normalized matmul per bucket group (``applyInPandas``)
+    instead of a per-pair zip_with fold — the throughput shape for the
+    exact-verify stage at scale (each vector lives in exactly one
+    bucket, so every pair is examined once; one shuffle on the bucket
+    id; scratch memory bounded by ``_BUCKET_TILE_ELEMS`` even for
+    degenerate buckets).
 
     Set-equality with the portable path is pytest-asserted on real
     data; like any cross-implementation float compare it can only
@@ -201,23 +246,7 @@ def embedding_near_dups_fast(
     b = with_lsh_bucket(df.select(id_col, vec_col), dim, n_planes, vec_col)
 
     def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        ids = pdf[id_col].to_numpy()
-        m = np.array([np.asarray(v, dtype=np.float64)
-                      for v in pdf[vec_col]])
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m.T
-        iu, ju = np.triu_indices(n, k=1)
-        keep = sims[iu, ju] >= threshold
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        lo = np.minimum(ia, ib)
-        hi = np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cosine": np.round(sims[iu, ju][keep], 4)})
+        return _bucket_pairs_pdf(pdf, id_col, vec_col, threshold)
 
     return b.groupBy("lsh_bucket").applyInPandas(
         pairs_in_bucket, schema="id_a long, id_b long, cosine double")
