@@ -829,3 +829,78 @@ def test_multiple_embedded_images_one_page_unique_names():
     res = extract_images_from_marker_text(pdf.decode("latin-1"), "url", 0)
     names = [d["image_url"] for d in res]
     assert names == ["image_1_1.png", "image_1_2.png"]
+
+
+# ---------------------------------------------------------------------------
+# /Annots appearance streams (round-4 verdict item 4; reference
+# renders them via may_draw_forms=include_annotations,
+# parser.py:25 + 118-120)
+# ---------------------------------------------------------------------------
+
+
+def test_annot_widget_value_reaches_text_channel():
+    """A filled AcroForm text widget's value lives ONLY in its /AP /N
+    appearance stream; the text channel must surface it after the
+    page content, and include_annotations=False must drop it."""
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_text,
+        make_pdf_bytes_annots,
+    )
+
+    pdf = make_pdf_bytes_annots(["Application form:"],
+                                field_value="Jane Q. Applicant")
+    txt = extract_pdf_text(pdf)
+    assert "Application form:" in txt
+    assert "Jane Q. Applicant" in txt
+    # page content precedes annotation text
+    assert txt.index("Application form:") < txt.index("Jane Q. Applicant")
+    off = extract_pdf_text(pdf, include_annotations=False)
+    assert "Jane Q. Applicant" not in off and "Application form:" in off
+
+
+def test_annot_checkbox_state_and_hidden_flag():
+    """/N state sub-dicts resolve through /AS (checked vs unchecked
+    appearance), and /F Hidden (bit 2) annotations never surface."""
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_text,
+        make_pdf_bytes_annots,
+    )
+
+    on = extract_pdf_text(make_pdf_bytes_annots(
+        ["form"], checkbox_on=True, hidden_field="SECRET-HIDDEN"))
+    assert "X-CHECKED" in on and "SECRET-HIDDEN" not in on
+    off = extract_pdf_text(make_pdf_bytes_annots(["form"],
+                                                 checkbox_on=False))
+    assert "X-CHECKED" not in off
+
+
+def test_annot_stamp_ink_reaches_rasterizer():
+    """A /Stamp annotation whose appearance paints vector ink must
+    land on the page canvas inside its /Rect placement (spec 12.5.5
+    BBox->Rect mapping), and the P3 vector flag must see it."""
+    import numpy as np
+    import pandas as pd
+
+    from vision_parse_spark.functions.pdf import (
+        extract_pdf_text_series,
+        make_pdf_bytes_annots,
+        rasterize_pdf_vector_pages,
+    )
+
+    pdf = make_pdf_bytes_annots(["chart memo"], vector_stamp=True)
+    pages = rasterize_pdf_vector_pages(pdf)
+    assert len(pages) == 1
+    idx, canvas = pages[0]
+    assert idx == 0 and canvas.shape == (792, 612)
+    ys, xs = np.nonzero(canvas < 128)
+    # /Rect [150 350 450 650] -> device x [150,450], y [792-650, 792-350]
+    assert 150 <= xs.min() and xs.max() <= 450
+    assert 142 <= ys.min() and ys.max() <= 442
+    assert rasterize_pdf_vector_pages(pdf, include_annotations=False) == []
+    _, ok, vec = extract_pdf_text_series(
+        pd.Series([pdf.decode("latin-1")]), with_vector_flag=True)
+    assert bool(ok[0]) and bool(vec[0])
+    _, ok2, vec2 = extract_pdf_text_series(
+        pd.Series([pdf.decode("latin-1")]), with_vector_flag=True,
+        include_annotations=False)
+    assert bool(ok2[0]) and not bool(vec2[0])

@@ -197,3 +197,28 @@ def test_vector_figures_config_off_switch(spark):
                                     vector_figures=False)).first()
     assert len(on["images"]) == 1
     assert len(off["images"]) == 0
+
+
+def test_include_annotations_config_knob(spark):
+    """ExtractConfig.include_annotations (default True, like the
+    reference's parser.py:25): a filled form-field value appears in
+    the extracted markdown; False drops it and the stamp figure."""
+    import pandas as pd
+
+    from vision_parse_spark import ExtractConfig, extract
+    from vision_parse_spark.functions.pdf import make_pdf_bytes_annots
+
+    payload = make_pdf_bytes_annots(
+        ["Application form:"], field_value="Jane Q. Applicant",
+        vector_stamp=True).decode("latin-1")
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c0"], "turn_idx": [0],
+                      "role": ["user"], "text": [payload],
+                      "tool": [None], "ts": [None]}))
+    on = extract(df, ExtractConfig(image_mode="url")).first()
+    assert "Jane Q. Applicant" in on.markdown
+    assert len(on.images) > 0          # stamp figure region extracted
+    off = extract(df, ExtractConfig(image_mode="url",
+                                    include_annotations=False)).first()
+    assert "Jane Q. Applicant" not in off.markdown
+    assert len(off.images) == 0

@@ -65,6 +65,13 @@ class ExtractConfig:
     # reach its CV chain); False skips the rasterizer for pipelines
     # that only want embedded raster images.
     vector_figures: bool = True
+    # round 5: /Annots appearance streams (filled AcroForm fields,
+    # stamps) feed the text channel and the vector rasterizer.  The
+    # reference renders them by default via
+    # may_draw_forms=include_annotations (parser.py:25, 118-120);
+    # False drops annotation content like the reference's
+    # include_annotations=False.
+    include_annotations: bool = True
 
     def validate(self) -> "ExtractConfig":
         if self.image_mode not in (None, "url", "base64"):

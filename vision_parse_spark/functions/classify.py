@@ -82,12 +82,15 @@ def detect_payload_kind(text: pd.Series) -> pd.Series:
     return kind
 
 
-def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd.DataFrame:
+def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None,
+                   include_annotations: bool = True) -> pd.DataFrame:
     """Classify a batch of turn payloads.
 
     Returns a DataFrame with columns: payload_kind, text_detected,
     tables_detected, images_detected, latex_detected, extracted_text,
     confidence — one row per input row, index-aligned.
+    ``include_annotations`` gates /Annots appearance text + ink inside
+    the pdf parse (ExtractConfig.include_annotations).
     """
     t = text.fillna("")
     if payload_kind is None:
@@ -107,7 +110,8 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None) -> pd
         from .pdf import extract_pdf_text_series
 
         parsed_pdf, _parse_ok, vec_ink = extract_pdf_text_series(
-            t[pdf_mask], with_vector_flag=True)
+            t[pdf_mask], with_vector_flag=True,
+            include_annotations=include_annotations)
         extracted = extracted.mask(pd.Series(pdf_mask, index=t.index), parsed_pdf)
         pdf_vector_ink.loc[vec_ink.index] = vec_ink
     if html_mask.any():

@@ -709,11 +709,15 @@ def _font_decoder(objs: dict[int, _Obj], font_num: int
     return _default_decode
 
 
+def _fonts_from_resources(objs: dict[int, _Obj], resources: bytes
+                          ) -> dict[bytes, Callable[[bytes], str]]:
+    return {b"/" + name: _font_decoder(objs, num)
+            for name, num in _named_refs(resources, b"Font").items()}
+
+
 def _page_fonts(objs: dict[int, _Obj], page_num: int
                 ) -> dict[bytes, Callable[[bytes], str]]:
-    res = _resources_dict(objs, page_num)
-    return {b"/" + name: _font_decoder(objs, num)
-            for name, num in _named_refs(res, b"Font").items()}
+    return _fonts_from_resources(objs, _resources_dict(objs, page_num))
 
 
 # ---------------------------------------------------------------------------
@@ -964,19 +968,35 @@ def _parse(data: bytes) -> tuple[dict[int, _Obj], list[int]]:
     return objs, order
 
 
-def extract_pdf_pages(data: bytes) -> list[str]:
-    """Text of each page, in document page order."""
+def _page_text_with_annots(objs: dict[int, _Obj], p: int,
+                           include_annotations: bool,
+                           content: bytes | None = None) -> str:
+    fonts = _page_fonts(objs, p)
+    txt = _content_text(
+        _page_content(objs, p) if content is None else content, fonts)
+    if include_annotations:
+        ann = _annot_texts(objs, p, fonts)
+        if ann:
+            txt = (txt + "\n" if txt else "") + "\n".join(ann)
+    return txt
+
+
+def extract_pdf_pages(data: bytes,
+                      include_annotations: bool = True) -> list[str]:
+    """Text of each page, in document page order.  Annotation
+    appearance streams (filled form fields) append after the page's
+    content text — the text-channel analog of the reference rendering
+    with ``may_draw_forms`` (parser.py:118-120)."""
     objs, order = _parse(data)
-    return [
-        _content_text(_page_content(objs, p), _page_fonts(objs, p))
-        for p in order
-    ]
+    return [_page_text_with_annots(objs, p, include_annotations)
+            for p in order]
 
 
-def extract_pdf_text(data: bytes, page_sep: str = "\n\n") -> str:
+def extract_pdf_text(data: bytes, page_sep: str = "\n\n",
+                     include_annotations: bool = True) -> str:
     """All page texts joined (reference joins per-page markdown with
     blank lines, parser.py:195-199)."""
-    return page_sep.join(extract_pdf_pages(data))
+    return page_sep.join(extract_pdf_pages(data, include_annotations))
 
 
 _INLINE_BI_RE = re.compile(rb"\bBI\b(.*?)\bID[ \r\n]", re.S)
@@ -1482,20 +1502,188 @@ def _form_resolver(objs: dict[int, _Obj], resources: bytes):
     return resolve
 
 
+# ---------------------------------------------------------------------------
+# annotations — /Annots appearance streams (spec 12.5).  The reference
+# renders them into its page bitmaps via
+# ``may_draw_forms=include_annotations`` (parser.py:118-120, knob
+# parser.py:25); here the /AP /N Form XObjects feed BOTH channels: the
+# text interpreter (filled AcroForm values live only in appearance
+# streams) and the vector rasterizer (stamp/widget ink).
+# ---------------------------------------------------------------------------
+
+_ANNOTS_ARR_RE = re.compile(rb"/Annots\s*\[(.*?)\]", re.S)
+_ANNOTS_REF_RE = re.compile(rb"/Annots\s+(\d+)\s+\d+\s+R")
+_RECT_RE = re.compile(rb"/Rect\s*\[([^\]]*)\]")
+_BBOX_RE = re.compile(rb"/BBox\s*\[([^\]]*)\]")
+_ANNOT_F_RE = re.compile(rb"/F\s+(\d+)")
+_AS_RE = re.compile(rb"/AS\s*/(\w+)")
+_AP_N_REF_RE = re.compile(rb"/N\s+(\d+)\s+\d+\s+R")
+
+
+class _Appearance(NamedTuple):
+    content: bytes       # decoded /AP /N form stream
+    rect: tuple          # (x0, y0, x1, y1), normalized order
+    bbox: tuple          # the form's /BBox
+    matrix: tuple        # the form's /Matrix (identity default)
+    resources: bytes     # the form's /Resources dict bytes
+
+
+def _floats_arr(rx: re.Pattern, body: bytes, n: int) -> list[float] | None:
+    m = rx.search(body)
+    if not m:
+        return None
+    try:
+        vals = [float(x) for x in m.group(1).split()]
+    except ValueError:
+        return None
+    return vals if len(vals) == n else None
+
+
+def _page_annots(objs: dict[int, _Obj], page_num: int) -> list[int]:
+    """Object numbers of the page's /Annots entries (inline array or
+    indirect array object), in array order."""
+    body = objs[page_num].body
+    m = _ANNOTS_ARR_RE.search(body)
+    if m:
+        arr = m.group(1)
+    else:
+        rm = _ANNOTS_REF_RE.search(body)
+        if not (rm and int(rm.group(1)) in objs):
+            return []
+        arr = objs[int(rm.group(1))].body
+    return [int(r.group(1)) for r in _REF_RE.finditer(arr)]
+
+
+def _annot_appearance(objs: dict[int, _Obj], num: int
+                      ) -> _Appearance | None:
+    """Resolve one annotation's NORMAL appearance (/AP /N) into its
+    decoded Form-XObject content plus placement geometry (spec
+    12.5.5).  /N may be the stream directly or a state sub-dict
+    (checkboxes/radios) selected by /AS.  Returns None for
+    annotations without a usable stream or with the Hidden/NoView
+    flags set (spec 12.5.3 — the reference's renderer skips those
+    too)."""
+    obj = objs.get(num)
+    if obj is None:
+        return None
+    body = obj.body
+    fm = _ANNOT_F_RE.search(body)
+    if fm and int(fm.group(1)) & 0x22:  # Hidden (bit 2) | NoView (bit 6)
+        return None
+    apm = re.search(rb"/AP\s*<<", body)
+    if not apm:
+        return None
+    ap = body[apm.end() - 2:_dict_extent(body, apm.end() - 2)]
+    nm = _AP_N_REF_RE.search(ap)
+    if nm:
+        snum = int(nm.group(1))
+    else:
+        nsub_m = re.search(rb"/N\s*<<", ap)
+        if not nsub_m:
+            return None
+        nsub = ap[nsub_m.end() - 2:_dict_extent(ap, nsub_m.end() - 2)]
+        states = {s.group(1): int(s.group(2)) for s in
+                  re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", nsub)}
+        if not states:
+            return None
+        asm = _AS_RE.search(body)
+        snum = states.get(asm.group(1)) if asm else None
+        if snum is None:
+            snum = next(iter(states.values()))
+    sobj = objs.get(snum)
+    if sobj is None or sobj.stream is None:
+        return None
+    try:
+        content = _decode_stream(sobj)
+    except (zlib.error, ValueError):
+        return None
+    rect = _floats_arr(_RECT_RE, body, 4)
+    if rect is None:
+        return None
+    x0, x1 = sorted((rect[0], rect[2]))
+    y0, y1 = sorted((rect[1], rect[3]))
+    bbox = _floats_arr(_BBOX_RE, sobj.body, 4) or [0.0, 0.0, 1.0, 1.0]
+    matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    mm = _FORM_MATRIX_RE.search(sobj.body)
+    if mm:
+        try:
+            vals = [float(x) for x in mm.group(1).split()]
+            if len(vals) == 6:
+                matrix = tuple(vals)
+        except ValueError:
+            pass
+    sub_res = b""
+    rm2 = re.search(rb"/Resources\s*<<", sobj.body)
+    if rm2:
+        sub_res = sobj.body[rm2.end() - 2:
+                            _dict_extent(sobj.body, rm2.end() - 2)]
+    else:
+        rr = _RESOURCES_REF_RE.search(sobj.body)
+        if rr and int(rr.group(1)) in objs:
+            sub_res = objs[int(rr.group(1))].body
+    return _Appearance(content, (x0, y0, x1, y1), tuple(bbox), matrix,
+                       sub_res)
+
+
+def _annot_texts(objs: dict[int, _Obj], page_num: int,
+                 page_fonts: dict | None = None) -> list[str]:
+    """Text shown by the page's annotation appearance streams, in
+    /Annots order — filled AcroForm field values, stamp captions.
+    Fonts resolve from the appearance's own /Resources, falling back
+    to the page's."""
+    out: list[str] = []
+    for num in _page_annots(objs, page_num):
+        ap = _annot_appearance(objs, num)
+        if ap is None:
+            continue
+        fonts = _fonts_from_resources(objs, ap.resources)
+        if not fonts:
+            if page_fonts is None:
+                page_fonts = _page_fonts(objs, page_num)
+            fonts = page_fonts
+        txt = _content_text(ap.content, fonts).strip()
+        if txt:
+            out.append(txt)
+    return out
+
+
+def _annot_device_matrix(ap: _Appearance, base: tuple) -> tuple:
+    """Spec 12.5.5 appearance placement composed with the page device
+    matrix: BBox corners through /Matrix give the transformed box; A
+    scales/translates that box onto /Rect; device = Matrix, then A,
+    then the page's base matrix."""
+    bx0, by0, bx1, by1 = ap.bbox
+    corners = [_apply_mat(ap.matrix, x, y)
+               for x in (bx0, bx1) for y in (by0, by1)]
+    txs = [c[0] for c in corners]
+    tys = [c[1] for c in corners]
+    tw, th = max(txs) - min(txs), max(tys) - min(tys)
+    rx0, ry0, rx1, ry1 = ap.rect
+    sx = (rx1 - rx0) / tw if tw > 1e-9 else 1.0
+    sy = (ry1 - ry0) / th if th > 1e-9 else 1.0
+    a = (sx, 0.0, 0.0, sy, rx0 - min(txs) * sx, ry0 - min(tys) * sy)
+    return _mat_mul(ap.matrix, _mat_mul(a, base))
+
+
 def rasterize_pdf_vector_pages(
     data: bytes, scale: float = 1.0, max_dim: int = 4096,
+    include_annotations: bool = True,
 ) -> list[tuple[int, np.ndarray]]:
     """(page_idx, HxW uint8 gray canvas) for every page whose content
     stream paints vector ink darker than near-white — the raster
     fallback that lets vector-drawn figures reach the same CV region
     chain the reference runs on its pdfium page bitmaps
     (utils.py:62-141).  /Subtype /Form XObjects are inlined under
-    their /Matrix (nested forms bounded at depth 4)."""
+    their /Matrix (nested forms bounded at depth 4).  With
+    ``include_annotations`` (the reference's default, parser.py:25 +
+    118-120), /Annots appearance streams draw onto the same canvas
+    under their Rect placement."""
     objs, order = _parse(data)
     out: list[tuple[int, np.ndarray]] = []
     for page_idx, p in enumerate(order):
         content = _page_content(objs, p)
-        if not content:
+        annots = _page_annots(objs, p) if include_annotations else []
+        if not content and not annots:
             continue
         box = _page_mediabox(objs, p)
         bw, bh = box[2] - box[0], box[3] - box[1]
@@ -1505,10 +1693,19 @@ def rasterize_pdf_vector_pages(
         h = max(1, min(max_dim, int(round(bh * scale))))
         sx, sy = w / bw, h / bh  # honors the max_dim clamp
         base = (sx, 0.0, 0.0, -sy, -box[0] * sx, h + box[1] * sy)
-        resolver = _form_resolver(objs, _resources_dict(objs, p))
-        canvas = _raster_content(content, w, h, base, resolver)
-        if canvas is not None:
-            out.append((page_idx, canvas))
+        state = {"canvas": None, "ink": 255}
+        if content:
+            resolver = _form_resolver(objs, _resources_dict(objs, p))
+            _raster_content(content, w, h, base, resolver, 0, state)
+        for num in annots:
+            ap = _annot_appearance(objs, num)
+            if ap is None:
+                continue
+            _raster_content(ap.content, w, h,
+                            _annot_device_matrix(ap, base),
+                            _form_resolver(objs, ap.resources), 1, state)
+        if state["canvas"] is not None and state["ink"] <= 245:
+            out.append((page_idx, state["canvas"]))
     return out
 
 
@@ -1521,6 +1718,7 @@ _VECTOR_PAINT_RE = re.compile(
 
 def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n",
                             with_vector_flag: bool = False,
+                            include_annotations: bool = True,
                             ) -> tuple[pd.Series, ...]:
     """Batch wrapper for %PDF- payloads stored as latin-1 strings.
 
@@ -1529,7 +1727,9 @@ def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n",
     the classifier's P3 gate costs no extra decode).  Rows that fail
     structural parsing fall back to the header-strip treatment (legacy
     pdf_text payloads that are really text blobs with a %PDF- first
-    line)."""
+    line).  ``include_annotations`` appends /AP /N appearance text
+    (filled form fields) after each page and lets annotation ink trip
+    the vector flag (reference parity: parser.py:25, 118-120)."""
     out = []
     ok = []
     vec = []
@@ -1541,8 +1741,8 @@ def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n",
             has_ink = False
             for p in order:
                 content = _page_content(objs, p)  # decoded ONCE per page
-                page_texts.append(
-                    _content_text(content, _page_fonts(objs, p)))
+                page_texts.append(_page_text_with_annots(
+                    objs, p, include_annotations, content=content))
                 if with_vector_flag and not has_ink:
                     has_ink = _VECTOR_PAINT_RE.search(content) is not None
                 if with_vector_flag and not has_ink:
@@ -1560,6 +1760,13 @@ def extract_pdf_text_series(texts: pd.Series, page_sep: str = "\n\n",
                                 break
                         except (zlib.error, ValueError):
                             continue
+                if with_vector_flag and not has_ink and include_annotations:
+                    for num in _page_annots(objs, p):
+                        ap = _annot_appearance(objs, num)
+                        if ap is not None and \
+                                _VECTOR_PAINT_RE.search(ap.content):
+                            has_ink = True
+                            break
             out.append(page_sep.join(page_texts))
             ok.append(True)
             if with_vector_flag:
@@ -1685,6 +1892,106 @@ def make_pdf_bytes(
             f"/ColorSpace {cs} /BitsPerComponent 8 /Filter /FlateDecode "
             f"/Length {len(raw)} >>".encode()
             + b"\nstream\n" + raw + b"\nendstream")
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(buf)
+
+
+def make_pdf_bytes_annots(
+    lines: list[str],
+    field_value: str = "Jane Q. Applicant",
+    vector_stamp: bool = False,
+    checkbox_on: bool | None = None,
+    hidden_field: str | None = None,
+) -> bytes:
+    """One-page PDF with an AcroForm TEXT WIDGET whose filled value
+    lives ONLY in its /AP /N appearance stream — the structure Acrobat
+    writes for filled forms (the reference renders these via
+    ``may_draw_forms=include_annotations``, parser.py:118-120).
+    Optionally adds a /Stamp annotation whose appearance paints vector
+    ink, a checkbox with /N state sub-dict + /AS, and a /F-hidden
+    field that must NOT surface."""
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)  # object number
+
+    def add_stream(head: str, stream: bytes) -> int:
+        return add(f"<< {head} /Length {len(stream)} >>".encode()
+                   + b"\nstream\n" + stream + b"\nendstream")
+
+    cat = add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    assert cat == 1
+    add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    page_num = add(b"PLACEHOLDER-PAGE")
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for j, line in enumerate(lines):
+        if j:
+            ops.append(b"0 -14 Td")
+        ops.append(b"(" + _esc(line) + b") Tj")
+    ops.append(b"ET")
+    content_num = add_stream("", b" ".join(ops))
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    annot_nums: list[int] = []
+    # --- filled text widget: value only in the appearance stream ---
+    ap_ops = (b"/Tx BMC q BT /F1 10 Tf 2 6 Td ("
+              + _esc(field_value) + b") Tj ET Q EMC")
+    ap_num = add_stream(
+        f"/Type /XObject /Subtype /Form /BBox [0 0 200 20] "
+        f"/Resources << /Font << /F1 {font_num} 0 R >> >>", ap_ops)
+    annot_nums.append(add(
+        f"<< /Type /Annot /Subtype /Widget /FT /Tx /T (applicant) "
+        f"/Rect [100 600 300 620] /AP << /N {ap_num} 0 R >> >>".encode()))
+    if vector_stamp:
+        stamp_ap = add_stream(
+            "/Type /XObject /Subtype /Form /BBox [0 0 300 300]",
+            vector_figure_ops(cx=150, cy=150, r=120))
+        annot_nums.append(add(
+            f"<< /Type /Annot /Subtype /Stamp /Rect [150 350 450 650] "
+            f"/AP << /N {stamp_ap} 0 R >> >>".encode()))
+    if checkbox_on is not None:
+        on_ap = add_stream(
+            f"/Type /XObject /Subtype /Form /BBox [0 0 12 12] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >>",
+            b"q BT /F1 10 Tf 2 2 Td (X-CHECKED) Tj ET Q")
+        off_ap = add_stream(
+            "/Type /XObject /Subtype /Form /BBox [0 0 12 12]", b"")
+        state = "On" if checkbox_on else "Off"
+        annot_nums.append(add(
+            f"<< /Type /Annot /Subtype /Widget /FT /Btn /AS /{state} "
+            f"/Rect [100 560 112 572] "
+            f"/AP << /N << /On {on_ap} 0 R /Off {off_ap} 0 R >> >> >>"
+            .encode()))
+    if hidden_field is not None:
+        hid_ap = add_stream(
+            f"/Type /XObject /Subtype /Form /BBox [0 0 200 20] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >>",
+            b"q BT /F1 10 Tf 2 6 Td (" + _esc(hidden_field)
+            + b") Tj ET Q")
+        annot_nums.append(add(
+            f"<< /Type /Annot /Subtype /Widget /FT /Tx /F 2 "
+            f"/Rect [100 520 300 540] /AP << /N {hid_ap} 0 R >> >>"
+            .encode()))
+
+    annots = " ".join(f"{n} 0 R" for n in annot_nums)
+    objects[page_num - 1] = (
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+        f"/Contents {content_num} 0 R /Annots [{annots}] >>".encode())
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]

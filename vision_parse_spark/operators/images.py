@@ -394,7 +394,8 @@ def page_from_image_array(arr: np.ndarray) -> np.ndarray:
 
 def extract_images_from_marker_text(
     text: str, image_mode: str, page_number: int,
-    vector_figures: bool = True, **kwargs
+    vector_figures: bool = True, include_annotations: bool = True,
+    **kwargs
 ) -> list[dict]:
     """Image regions for one turn payload.
 
@@ -437,7 +438,8 @@ def extract_images_from_marker_text(
                 page_region_count.get(page_idx, 0) + len(found))
             results.extend(found)
         try:
-            vector_pages = rasterize_pdf_vector_pages(data) \
+            vector_pages = rasterize_pdf_vector_pages(
+                data, include_annotations=include_annotations) \
                 if vector_figures else []
         except (PdfParseError, ValueError):
             vector_pages = []

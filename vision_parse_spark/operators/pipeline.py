@@ -82,7 +82,8 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
     # ---- T4 classification with C4 fallback ----------------------
     try:
-        analysis = classify_batch(texts)
+        analysis = classify_batch(
+            texts, include_annotations=cfg.include_annotations)
     except Exception as e:  # pragma: no cover - defensive
         if cfg.strict:
             raise
@@ -174,6 +175,7 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     page_frac_max=cfg.region_page_frac_max,
                     detection_scale=cfg.detection_scale,
                     vector_figures=cfg.vector_figures,
+                    include_annotations=cfg.include_annotations,
                 )
             except Exception as e:
                 if cfg.strict:
