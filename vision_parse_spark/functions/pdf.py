@@ -1324,6 +1324,18 @@ def _luma(nums: list[float]) -> float:
     return 0.0
 
 
+# Helvetica-ish average glyph advance and cap height (em fractions)
+# for the glyph-box ink approximation: the reference's page bitmap
+# contains real glyphs (parser.py:116-121); drawing a filled box per
+# glyph reproduces their ink contribution to region mean/std without
+# a font renderer.  Text ink NEVER qualifies a page as vector-inked
+# (state["ink"] untouched) — only path paint does — so text-only
+# pages still skip the CV chain exactly as before.
+_GLYPH_ADVANCE = 0.5
+_GLYPH_CAP = 0.64
+_TEXT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
 def _raster_content(content: bytes, w: int, h: int, base: tuple,
                     resolver=None, depth: int = 0,
                     state: dict | None = None) -> np.ndarray | None:
@@ -1331,12 +1343,18 @@ def _raster_content(content: bytes, w: int, h: int, base: tuple,
     allocated white canvas; None when nothing painted non-near-white
     ink.  ``resolver(name) -> (content, matrix, sub_resolver) | None``
     inlines /Subtype /Form XObjects on ``Do`` (recursion bounded by
-    ``depth``), sharing the canvas through ``state``."""
+    ``depth``), sharing the canvas through ``state``.  Text shows
+    (Tj/'/"/TJ) draw per-glyph ink boxes so mixed figures (vector
+    frame + text labels) carry their labels' ink like the reference's
+    real page bitmaps do."""
     root = state is None
     if state is None:
         state = {"canvas": None, "ink": 255}
     ctm = base
     fill, stroke, lw = 0.0, 0.0, 1.0
+    fsize, leading = 0.0, 0.0
+    tm: tuple | None = None   # text matrix (inside BT..ET)
+    tlm: tuple | None = None  # text line matrix
     gstack: list = []
     subpaths: list[list[tuple]] = []
     cur: list[tuple] = []
@@ -1365,24 +1383,64 @@ def _raster_content(content: bytes, w: int, h: int, base: tuple,
             for t in ts
         ]
 
+    def show_text(raw: bytes) -> None:
+        """Draw per-glyph ink boxes for one shown string and advance
+        the text matrix (width model: flat _GLYPH_ADVANCE em)."""
+        nonlocal tm
+        if tm is None or fsize <= 0:
+            return
+        full = _mat_mul(tm, ctm)
+        cw = _GLYPH_ADVANCE * fsize
+        quads: list[list[tuple]] = []
+        x = 0.0
+        for byte in raw:
+            if byte not in (0x20, 0x09):  # spaces advance, no ink
+                x0, x1 = x + 0.08 * cw, x + 0.92 * cw
+                quad = [_apply_mat(full, x0, 0.0),
+                        _apply_mat(full, x1, 0.0),
+                        _apply_mat(full, x1, _GLYPH_CAP * fsize),
+                        _apply_mat(full, x0, _GLYPH_CAP * fsize)]
+                quad.append(quad[0])
+                quads.append(quad)
+            x += cw
+        if quads:
+            v = int(round(max(0.0, min(1.0, fill)) * 255))
+            if v <= 245:
+                # glyph ink lands on the canvas but deliberately does
+                # NOT lower state["ink"]: text alone never qualifies a
+                # page as vector-inked (text-only pages stay out of
+                # the CV chain)
+                _fill_polys(ensure(), quads, v)
+        tm = _mat_mul((1.0, 0.0, 0.0, 1.0, x, 0.0), tm)
+
+    def next_line() -> None:
+        nonlocal tm, tlm
+        if tlm is not None:
+            tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+            tm = tlm
+
     for tok in _tokenize(content):
         kind = tok[0]
         if kind == "[":
             in_array = []
         elif kind == "]":
+            if in_array is not None:
+                stack.append(("arr", in_array))
             in_array = None
         elif kind in ("str", "num", "name"):
             if in_array is None:
                 stack.append(tok)
+            else:
+                in_array.append(tok)
         else:
             op = tok[1]
             nums = [t[1] for t in stack
                     if isinstance(t, tuple) and t[0] == "num"]
             if op == b"q":
-                gstack.append((ctm, fill, stroke, lw))
+                gstack.append((ctm, fill, stroke, lw, fsize, leading))
             elif op == b"Q":
                 if gstack:
-                    ctm, fill, stroke, lw = gstack.pop()
+                    ctm, fill, stroke, lw, fsize, leading = gstack.pop()
             elif op == b"cm" and len(nums) >= 6:
                 ctm = _mat_mul(tuple(nums[-6:]), ctm)
             elif op == b"w" and nums:
@@ -1432,6 +1490,45 @@ def _raster_content(content: bytes, w: int, h: int, base: tuple,
                         _raster_content(
                             fcontent, w, h, _mat_mul(fmatrix, ctm),
                             fresolver, depth + 1, state)
+            elif op == b"BT":
+                tm = tlm = _TEXT_ID
+            elif op == b"ET":
+                tm = tlm = None
+            elif op == b"Tf" and nums:
+                fsize = nums[-1]
+            elif op == b"TL" and nums:
+                leading = nums[-1]
+            elif op == b"Td" and len(nums) >= 2 and tlm is not None:
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0,
+                                nums[-2], nums[-1]), tlm)
+                tm = tlm
+            elif op == b"TD" and len(nums) >= 2 and tlm is not None:
+                leading = -nums[-1]
+                tlm = _mat_mul((1.0, 0.0, 0.0, 1.0,
+                                nums[-2], nums[-1]), tlm)
+                tm = tlm
+            elif op == b"Tm" and len(nums) >= 6:
+                tlm = tm = tuple(nums[-6:])
+            elif op == b"T*":
+                next_line()
+            elif op in (b"Tj", b"'", b'"'):
+                if op != b"Tj":
+                    next_line()
+                strs = [t[1] for t in stack
+                        if isinstance(t, tuple) and t[0] == "str"]
+                if strs:
+                    show_text(strs[-1])
+            elif op == b"TJ":
+                arrs = [t[1] for t in stack
+                        if isinstance(t, tuple) and t[0] == "arr"]
+                if arrs:
+                    for t in arrs[-1]:
+                        if t[0] == "str":
+                            show_text(t[1])
+                        elif t[0] == "num" and tm is not None:
+                            tm = _mat_mul(
+                                (1.0, 0.0, 0.0, 1.0,
+                                 -t[1] / 1000.0 * fsize, 0.0), tm)
             elif op in _PAINT_FILL or op in _PAINT_BOTH \
                     or op in _PAINT_STROKE or op == b"n":
                 if op in (b"b", b"b*", b"s") and start is not None \
@@ -1833,15 +1930,18 @@ def make_pdf_bytes(
     compress: bool = True,
     images: dict[int, np.ndarray] | None = None,
     vector_figures: list[int] | None = None,
+    extra_page_ops: dict[int, bytes] | None = None,
 ) -> bytes:
     """Build a real multi-page PDF: one content stream per page, one
     line per list entry, Helvetica 12pt, 14pt leading.  ``images``
     optionally embeds an RGB/gray uint8 array as a Flate /Image
     XObject on the given page index (drawn via cm+Do);
     ``vector_figures`` draws the deterministic ``vector_figure_ops``
-    pie figure on the given page indexes."""
+    pie figure on the given page indexes; ``extra_page_ops`` appends
+    raw content-stream bytes to a page (custom figures in tests)."""
     images = images or {}
     vector_figures = vector_figures or []
+    extra_page_ops = extra_page_ops or {}
     n_pages = len(pages)
     objects: list[bytes] = []  # bodies, object number = index + 1
     font_num = 3 + 2 * n_pages
@@ -1871,6 +1971,8 @@ def make_pdf_bytes(
             ops.append(f"q {w} 0 0 {h} 100 400 cm /Im{i} Do Q".encode())
         if i in vector_figures:
             ops.append(vector_figure_ops())
+        if i in extra_page_ops:
+            ops.append(extra_page_ops[i])
         stream = b" ".join(ops)
         if compress:
             stream = zlib.compress(stream)
