@@ -98,3 +98,46 @@ def test_report_writer_multi_run(tmp_path):
     md = render_report(load_runs([str(a), str(b)]))
     assert "| q1 | 5.000 | 4.000 | 0.80x |" in md
     assert "# Benchmark Results" in md
+
+
+def test_bleu_tokenizer_parity_fixture():
+    """Round-4 verdict item 8: the reference scores BLEU over
+    nltk.word_tokenize tokens (benchmarks/scoring.py:16-20); this repo
+    uses a regex tokenizer.  The committed fixture carries hand-derived
+    Penn-Treebank tokenizations for 20 sentence pairs; the expected
+    nltk score is bleu_from_tokens over those tokens (same BLEU math,
+    isolating the tokenizer).  'agree' cases (plain words, punctuation,
+    quotes, currency, percent) must match exactly; 'diverge' cases
+    (contractions, hyphenated compounds, ellipses, decimals,
+    possessives) are documented and bounded."""
+    import json
+    import pathlib
+
+    from vision_parse_spark.benchmarks.scoring import (
+        bleu_from_tokens,
+        bleu_score,
+    )
+
+    fix = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "bleu_parity.json")
+        .read_text())
+    deltas = {}
+    for case in fix["cases"]:
+        expected = bleu_from_tokens(case["nltk_gen"], case["nltk_ref"])
+        actual = bleu_score(case["gen"], case["ref"])
+        assert 0.0 <= actual <= 1.0 and 0.0 <= expected <= 1.0
+        if case["kind"] == "agree":
+            assert abs(actual - expected) < 1e-9, \
+                f"{case['name']}: {actual} != {expected}"
+        else:
+            deltas[case["name"]] = round(abs(actual - expected), 4)
+            assert abs(actual - expected) <= 0.4, \
+                f"{case['name']}: divergence {actual} vs {expected}"
+    # identical texts score 1.0 under BOTH tokenizers
+    sanity = next(c for c in fix["cases"]
+                  if c["name"] == "identical_divergent_tokens_sanity")
+    assert bleu_score(sanity["gen"], sanity["ref"]) == 1.0
+    assert bleu_from_tokens(sanity["nltk_gen"], sanity["nltk_ref"]) == 1.0
+    # at least one diverge case must actually diverge (the fixture is
+    # not vacuous) and none explode past the documented bound
+    assert deltas and max(deltas.values()) > 0.0

@@ -34,11 +34,15 @@ def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
-def bleu_score(generated: str, truth: str, max_n: int = 4) -> float:
-    """Sentence BLEU (uniform weights, brevity penalty, no smoothing:
-    any zero n-gram precision gives 0.0 like nltk's default)."""
-    gen = _tokens(generated)
-    ref = _tokens(truth)
+def bleu_from_tokens(gen: list[str], ref: list[str],
+                     max_n: int = 4) -> float:
+    """Sentence BLEU over pre-tokenized sequences (uniform weights,
+    brevity penalty, no smoothing: any zero n-gram precision gives
+    0.0) — the exact ``nltk.translate.bleu_score.sentence_bleu``
+    default math (Papineni et al. 2002), shared by ``bleu_score`` and
+    the tokenizer-parity fixture (tests/fixtures/bleu_parity.json),
+    which feeds it hand-derived ``nltk.word_tokenize`` outputs to
+    isolate tokenizer divergence from BLEU-math divergence."""
     if not gen or not ref:
         return 0.0
     log_sum = 0.0
@@ -56,6 +60,14 @@ def bleu_score(generated: str, truth: str, max_n: int = 4) -> float:
         log_sum += math.log(overlap / total) / max_n
     bp = 1.0 if len(gen) > len(ref) else math.exp(1 - len(ref) / max(len(gen), 1))
     return bp * math.exp(log_sum)
+
+
+def bleu_score(generated: str, truth: str, max_n: int = 4) -> float:
+    """Sentence BLEU of raw texts through the regex tokenizer
+    (``scoring.py:16-20`` semantics; tokenizer is an approximation of
+    ``nltk.word_tokenize`` — divergence cases are pinned in
+    tests/fixtures/bleu_parity.json)."""
+    return bleu_from_tokens(_tokens(generated), _tokens(truth), max_n)
 
 
 def levenshtein_similarity(generated: str, truth: str) -> float:
