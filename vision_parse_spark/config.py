@@ -45,13 +45,28 @@ class ExtractConfig:
     region_laplacian_var_max: float = 500.0
     # page-size cap for regions — utils.py:99-103 (0.95 * page dims)
     region_page_frac_max: float = 0.95
-    # 1.0 = reference-faithful full-res detection; 0.5 runs the CV
-    # threshold/labeling passes on a 2x-decimated page (~2.3x faster
-    # per imaged turn, measured) while P4/P5 still measure the
-    # full-res crop.  Costs recall on thin/small regions (~25% fewer
-    # detections on the synthetic corpus) — an explicit speed/recall
-    # knob, not a default.
+    # 1.0 = reference-faithful full-res detection; 0.5 / 0.25 run the
+    # CV threshold/labeling passes on a 2x / 4x-decimated page (4x /
+    # 16x fewer pixels) while P4/P5 still measure the full-res crop.
+    # Costs recall on thin/small regions (~25% fewer detections at
+    # 0.5 on the synthetic corpus) — an explicit speed/recall knob,
+    # not a default.
     detection_scale: float = 1.0
+    # round 5 — PDFPageConfig parity (parser.py:20-26):
+    # * raster_dpi: resolution of the VECTOR raster channel
+    #   (scale = dpi/72, the reference's dpi knob; its default 400 is
+    #   for LLM-legible bitmaps — here the text channel reads the text
+    #   layer directly, so 72 keeps the CV pass cheap by default and
+    #   the knob exists for callers that want finer region detection).
+    #   Embedded raster images decode at their native resolution.
+    # * color_space: "RGB" (reference default) or "GRAY" — GRAY
+    #   base64-encodes region crops as 1-channel PNGs.
+    # * preserve_transparency: RGBA embedded images keep their alpha
+    #   plane through to the region PNG (color type 6); False
+    #   (reference default) flattens to RGB.
+    raster_dpi: int = 72
+    color_space: str = "RGB"
+    preserve_transparency: bool = False
     # the reference returns "" for pages with no detected text WITHOUT
     # extracting images (llm.py:333-334) — scan-only / image-only
     # payloads get nothing.  True opts textless payloads into image
@@ -78,8 +93,18 @@ class ExtractConfig:
             raise ValueError(
                 f"image_mode must be 'url', 'base64' or None, got {self.image_mode!r}"
             )
-        if self.detection_scale not in (1.0, 0.5):
+        if self.detection_scale not in (1.0, 0.5, 0.25):
             raise ValueError(
-                f"detection_scale must be 1.0 or 0.5, got {self.detection_scale!r}"
+                f"detection_scale must be 1.0, 0.5 or 0.25, "
+                f"got {self.detection_scale!r}"
+            )
+        if not (36 <= int(self.raster_dpi) <= 600):
+            raise ValueError(
+                f"raster_dpi must be in [36, 600], got {self.raster_dpi!r}"
+            )
+        if self.color_space not in ("RGB", "GRAY"):
+            raise ValueError(
+                f"color_space must be 'RGB' or 'GRAY', "
+                f"got {self.color_space!r}"
             )
         return self

@@ -1987,11 +1987,14 @@ def make_pdf_bytes(
         arr = images[pi]
         h, w = arr.shape[:2]
         ch = 1 if arr.ndim == 2 else arr.shape[2]
-        cs = "/DeviceGray" if ch == 1 else "/DeviceRGB"
+        # 4-channel test arrays carry no standard colorspace name —
+        # the reader's RGBA path keys on sample-data length
+        cs = {1: "/ColorSpace /DeviceGray ",
+              3: "/ColorSpace /DeviceRGB "}.get(ch, "")
         raw = zlib.compress(np.ascontiguousarray(arr).tobytes())
         objects.append(
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-            f"/ColorSpace {cs} /BitsPerComponent 8 /Filter /FlateDecode "
+            f"{cs}/BitsPerComponent 8 /Filter /FlateDecode "
             f"/Length {len(raw)} >>".encode()
             + b"\nstream\n" + raw + b"\nendstream")
 

@@ -233,8 +233,20 @@ def _laplacian_var(gray: np.ndarray) -> float:
 
 
 def encode_png(rgb: np.ndarray) -> bytes:
-    """Encode an HxWx3 uint8 RGB array as a PNG byte string."""
+    """Encode a uint8 array as PNG: HxW gray (color type 0), HxWx3
+    RGB (type 2) or HxWx4 RGBA (type 6) — the color_space /
+    preserve_transparency analogs of the reference's PIL save
+    (PDFPageConfig.color_space / preserve_transparency,
+    parser.py:23-26)."""
     h, w = rgb.shape[:2]
+    if rgb.ndim == 2:
+        color_type = 0
+    elif rgb.shape[2] == 3:
+        color_type = 2
+    elif rgb.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError(f"unsupported channel count {rgb.shape[2]}")
     raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -245,7 +257,7 @@ def encode_png(rgb: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -273,6 +285,8 @@ def extract_images(
     page_frac_max: float = 0.95,
     detection_scale: float = 1.0,
     start_idx: int = 1,
+    color_space: str = "RGB",
+    alpha_plane: np.ndarray | None = None,
 ) -> list[dict]:
     """Detect and extract image regions from one page bitmap.
 
@@ -292,12 +306,13 @@ def extract_images(
     min_w, min_h = min_dimensions
     img_h, img_w = page_image.shape[:2]
 
-    # detection_scale=0.5 runs the thresholding/labeling passes on a
-    # 2x-decimated page (4x fewer pixels — the CV chain is the hot
+    # detection_scale=1/n runs the thresholding/labeling passes on an
+    # n x-decimated page (n^2 fewer pixels — the CV chain is the hot
     # path); boxes are mapped back and P4/P5 still measured on the
     # FULL-resolution crop.  Default 1.0 = reference-faithful.
-    if detection_scale == 0.5:
-        det_img, ds = page_image[::2, ::2], 2
+    if detection_scale in (0.5, 0.25):
+        ds = int(round(1.0 / detection_scale))
+        det_img = page_image[::ds, ::ds]
     else:
         det_img, ds = page_image, 1
 
@@ -362,7 +377,17 @@ def extract_images(
             out.append({"image_url": image_url, "base64_encoded": None})
         else:  # base64 (utils.py:127-139)
             rgb = region[..., ::-1].copy()
-            png = encode_png(rgb)
+            if color_space == "GRAY":
+                # color_space analog (PDFPageConfig parser.py:24):
+                # 1-channel PNG of the crop's luma
+                img = np.clip(np.rint(bgr_to_gray(region)),
+                              0, 255).astype(np.uint8)
+            elif alpha_plane is not None:
+                img = np.dstack(
+                    [rgb, alpha_plane[cy:cy + ch, cx:cx + cw]])
+            else:
+                img = rgb
+            png = encode_png(img)
             b64 = base64.b64encode(png).decode("utf-8", errors="ignore")
             out.append(
                 {
@@ -374,27 +399,39 @@ def extract_images(
     return out
 
 
-def page_from_image_array(arr: np.ndarray) -> np.ndarray:
+def page_from_image_array(arr: np.ndarray, return_alpha: bool = False):
     """Composite a decoded embedded image onto a white page canvas
     (the analog of the reference's rendered-page bitmap) so the SAME
     region-detection chain runs on it: gray -> 3-channel, RGBA -> RGB,
     then a white border sized so P4's page-fraction bound (region <=
-    0.95*page, utils.py:100-104) cannot reject the image itself."""
+    0.95*page, utils.py:100-104) cannot reject the image itself.
+    ``return_alpha`` also returns the source's alpha plane composited
+    onto an opaque page (the preserve_transparency channel,
+    PDFPageConfig parser.py:26) — detection always runs on RGB; the
+    alpha rejoins the crop only at PNG-encode time."""
+    alpha_src = None
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     elif arr.shape[2] == 4:
+        alpha_src = arr[..., 3]
         arr = arr[..., :3]
     h, w = arr.shape[:2]
     by = max(16, int(np.ceil(h * 0.06)))
     bx = max(16, int(np.ceil(w * 0.06)))
     page = np.full((h + 2 * by, w + 2 * bx, 3), 255, dtype=np.uint8)
     page[by:by + h, bx:bx + w] = arr
-    return page
+    if not return_alpha:
+        return page
+    page_alpha = np.full(page.shape[:2], 255, dtype=np.uint8)
+    if alpha_src is not None:
+        page_alpha[by:by + h, bx:bx + w] = alpha_src
+    return page, page_alpha
 
 
 def extract_images_from_marker_text(
     text: str, image_mode: str, page_number: int,
     vector_figures: bool = True, include_annotations: bool = True,
+    raster_dpi: int = 72, preserve_transparency: bool = False,
     **kwargs
 ) -> list[dict]:
     """Image regions for one turn payload.
@@ -430,16 +467,25 @@ def extract_images_from_marker_text(
         for page_idx, _name, arr in embedded:
             # continue idx numbering across a page's MULTIPLE embedded
             # images too — per-XObject restarts would collide names
+            alpha = None
+            if preserve_transparency and arr.ndim == 3 \
+                    and arr.shape[2] == 4:
+                page, alpha = page_from_image_array(arr,
+                                                    return_alpha=True)
+            else:
+                page = page_from_image_array(arr)
             found = extract_images(
-                page_from_image_array(arr), image_mode, page_idx,
+                page, image_mode, page_idx,
                 start_idx=page_region_count.get(page_idx, 0) + 1,
+                alpha_plane=alpha,
                 **kwargs)
             page_region_count[page_idx] = (
                 page_region_count.get(page_idx, 0) + len(found))
             results.extend(found)
         try:
             vector_pages = rasterize_pdf_vector_pages(
-                data, include_annotations=include_annotations) \
+                data, scale=raster_dpi / 72.0,
+                include_annotations=include_annotations) \
                 if vector_figures else []
         except (PdfParseError, ValueError):
             vector_pages = []

@@ -176,6 +176,9 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     detection_scale=cfg.detection_scale,
                     vector_figures=cfg.vector_figures,
                     include_annotations=cfg.include_annotations,
+                    raster_dpi=cfg.raster_dpi,
+                    color_space=cfg.color_space,
+                    preserve_transparency=cfg.preserve_transparency,
                 )
             except Exception as e:
                 if cfg.strict:
