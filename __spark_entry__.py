@@ -266,6 +266,15 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_adjacent(_t(spark, sf_dir, "documents"))
 
 
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus top-50 3-gram frequencies (vocab/contamination profile).
+    Plan: explode -> map-side-combined hash agg -> one shuffle ->
+    TakeOrderedAndProject bounded top-k (no global sort)."""
+    from vision_parse_spark.operators.corpus_stats import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=50)
+
+
 def _q_minhash_dedup(spark, sf_dir):
     # full LSH dedup pipeline (signature -> banding -> bucket join ->
     # jaccard verify -> survivor set), portable md5 construction so
@@ -699,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
+        "top_ngrams": _q_top_ngrams,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
         "dup_clusters": _q_dup_clusters,
@@ -1089,6 +1099,20 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(list_concat(a.s, b.s)))
                          ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "top_ngrams": r"""
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT unnest(list_transform(
+                       range(len(t) - 2),
+                       i -> array_to_string(t[i + 1 : i + 3], ' '))) AS ngram
+              FROM toks WHERE len(t) >= 3)
+            SELECT ngram, count(*) AS freq
+            FROM g GROUP BY ngram
+            ORDER BY freq DESC, ngram ASC
+            LIMIT 50
         """,
         "simhash16": """
             WITH toks AS (

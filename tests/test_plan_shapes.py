@@ -127,3 +127,15 @@ def test_lsh_near_dup_join_is_not_cartesian(spark):
     p = plan_of(embedding_near_dups(emb, dim=64, threshold=0.3, n_planes=4))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_top_ngrams_uses_bounded_topk_not_global_sort(docs):
+    """top_ngrams' k rows must come from TakeOrderedAndProject (per-
+    partition bounded heap) — a global Sort of the distinct-ngram set
+    would be the 100x scale-killer."""
+    from vision_parse_spark.operators.corpus_stats import top_ngrams
+
+    plan = plan_of(top_ngrams(docs, n=3, k=50))
+    assert "TakeOrderedAndProject" in plan
+    # partial aggregation must combine map-side before the shuffle
+    assert plan.count("HashAggregate") >= 2

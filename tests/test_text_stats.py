@@ -48,3 +48,44 @@ def test_fingerprint_normalization():
 def test_fingerprint_deterministic():
     s = pd.Series(["stable content"])
     assert doc_fingerprint(s).iloc[0] == doc_fingerprint(s).iloc[0]
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    """Corpus top-k 3-grams: every occurrence counts (not
+    distinct-per-doc), ties break on the gram, short docs drop."""
+    import pandas as pd
+
+    from vision_parse_spark.operators.corpus_stats import top_ngrams
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c a b c",      # 'a b c' x2, 'b c a', 'c a b'
+            "a b c d",          # 'a b c', 'b c d'
+            "z z",              # < 3 tokens -> contributes nothing
+            "b c d",            # 'b c d'
+        ],
+    }))
+    rows = top_ngrams(df, n=3, k=3).collect()
+    assert [(r.ngram, r.freq) for r in rows] == [
+        ("a b c", 3), ("b c d", 2), ("b c a", 1)]
+
+
+def test_top_ngrams_matches_python_reference(spark):
+    """Spark result equals a plain-Python recount on real test data."""
+    import re
+    from collections import Counter
+
+    from vision_parse_spark.operators.corpus_stats import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [(r.ngram, r.freq) for r in top_ngrams(docs, n=3, k=20).collect()]
+
+    counts = Counter()
+    for (text,) in docs.select("text").collect():
+        toks = re.split(r"[ \t\n\x0b\f\r]+", (text or "").strip().lower())
+        if len(toks) >= 3:
+            for i in range(len(toks) - 2):
+                counts[" ".join(toks[i:i + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
