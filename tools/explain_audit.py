@@ -153,6 +153,35 @@ def main():
         grab(cur),
     ))
 
+    from vision_parse_spark.operators.dedup import simhash_near_dups
+
+    sh = simhash_near_dups(docs.select("doc_id", "text"))
+    sections.append((
+        "SimHash near-dups (Manku multi-block buckets)",
+        "round 5: candidates come from a hash equi-join on "
+        "(blk_combo, blk_key) — 20 bucket tables with ~32-bit keys "
+        "(3-of-6 block unions of the 64-bit signature), so expected "
+        "bucket size is O(N/2^32) and the self-join stays "
+        "sub-quadratic at 1e9 docs.  No cartesian anywhere; the "
+        "popcount verify is a codegen'd Project after the join.",
+        grab(sh),
+    ))
+
+    from vision_parse_spark.operators.corpus_stats import top_ngrams
+
+    tg = top_ngrams(docs, n=3, k=50)
+    sections.append((
+        "Corpus top-k n-grams (bounded top-k, no global sort)",
+        "round 5: explode -> partial hash agg (map-side combine) -> "
+        "one shuffle on the gram -> final agg -> "
+        "TakeOrderedAndProject: Spark keeps a k-row bounded heap per "
+        "partition and merges k rows per partition on the driver — "
+        "the distinct-gram set (could be billions at 100 TB) is "
+        "never globally sorted.  Asserted in CI "
+        "(tests/test_plan_shapes.py).",
+        grab(tg),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")
