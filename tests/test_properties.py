@@ -189,3 +189,39 @@ def test_ccitt_decoder_total_on_garbage(data, columns):
                                   or img.shape[0] == 0)
     except ValueError:
         pass
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_annot_paths_total_on_garbage(data):
+    """Round 5: the /Annots resolution + glyph-ink raster channels
+    must be as total as the text channel — arbitrary bytes spliced
+    into a structurally valid PDF (page body, /AP dict, appearance
+    stream) never raise out of extract_pdf_text_series or the image
+    operator."""
+    from vision_parse_spark.functions.pdf import extract_pdf_text_series
+    from vision_parse_spark.operators.images import (
+        extract_images_from_marker_text,
+    )
+
+    junk = data.decode("latin-1")
+    body = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 4 0 R /Annots [5 0 R 6 0 R] >>\nendobj\n"
+        "4 0 obj\n<< /Length 26 >>\nstream\nBT 9e9 Tf (x) Tj ET 0 0 re f"
+        "\nendstream\nendobj\n"
+        "5 0 obj\n<< /Type /Annot /Subtype /Widget /Rect [0 0 " + junk[:40]
+        + "] /AP << /N 7 0 R >> >>\nendobj\n"
+        "6 0 obj\n<< /Type /Annot /AP << /N << /" + junk[:20].replace("\x00", "z")
+        + " 7 0 R >> >> /Rect [10 10 20 20] >>\nendobj\n"
+        "7 0 obj\n<< /Subtype /Form /BBox [0 0 0 0] /Length "
+        + str(len(junk)) + " >>\nstream\n" + junk + "\nendstream\nendobj\n"
+        "trailer\n<< /Root 1 0 R >>\n"
+    )
+    out, ok = extract_pdf_text_series(pd.Series([body]))
+    assert len(out) == 1 and isinstance(out.iloc[0], str)
+    imgs = extract_images_from_marker_text(body, "url", 0)
+    assert isinstance(imgs, list)

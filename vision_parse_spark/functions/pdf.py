@@ -1409,8 +1409,13 @@ def _raster_content(content: bytes, w: int, h: int, base: tuple,
                 # glyph ink lands on the canvas but deliberately does
                 # NOT lower state["ink"]: text alone never qualifies a
                 # page as vector-inked (text-only pages stay out of
-                # the CV chain)
-                _fill_polys(ensure(), quads, v)
+                # the CV chain).  Chunked: the scanline fill builds a
+                # (rows x edges) crossing matrix, and one hostile
+                # multi-thousand-glyph rotated show op would make both
+                # axes large at once.
+                cv = ensure()
+                for i in range(0, len(quads), 1024):
+                    _fill_polys(cv, quads[i:i + 1024], v)
         tm = _mat_mul((1.0, 0.0, 0.0, 1.0, x, 0.0), tm)
 
     def next_line() -> None:
