@@ -275,6 +275,16 @@ def _q_top_ngrams(spark, sf_dir):
     return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=50)
 
 
+def _q_bm25(spark, sf_dir):
+    """BM25 lexical retrieval: top-10 docs for a fixed 3-term query,
+    Robertson idf, Catalyst-only (no UDF).  Ranking on the rounded
+    score + id tie-break keeps the order engine-reproducible."""
+    from vision_parse_spark.operators.corpus_stats import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"),
+                     ["vector", "hash", "join"], k=10)
+
+
 def _q_minhash_dedup(spark, sf_dir):
     # full LSH dedup pipeline (signature -> banding -> bucket join ->
     # jaccard verify -> survivor set), portable md5 construction so
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "top_ngrams": _q_top_ngrams,
+        "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
         "dup_clusters": _q_dup_clusters,
@@ -1113,6 +1124,36 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY freq DESC, ngram ASC
             LIMIT 50
+        """,
+        "bm25": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents),
+            dl AS (SELECT doc_id, len(t) AS dl, t FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                      FROM dl),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY doc_id, dl, term),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_t
+                      FROM tf GROUP BY term)
+            SELECT doc_id,
+                   round(sum(ln((n_docs - df_t + 0.5) / (df_t + 0.5)
+                                + 1.0)
+                             * tf * 2.2
+                             / (tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * dl / avgdl))),
+                         4) AS bm25
+            FROM tf
+            JOIN dfreq USING (term)
+            CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 10
         """,
         "simhash16": """
             WITH toks AS (

@@ -139,3 +139,16 @@ def test_top_ngrams_uses_bounded_topk_not_global_sort(docs):
     assert "TakeOrderedAndProject" in plan
     # partial aggregation must combine map-side before the shuffle
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bm25_broadcasts_stats_and_bounds_topk(docs):
+    """bm25_topk: document-frequency and corpus-stat sides broadcast
+    (no fact-side shuffle for the joins) and the final k rows come
+    from TakeOrderedAndProject, not a global Sort."""
+    from vision_parse_spark.operators.corpus_stats import bm25_topk
+
+    plan = plan_of(bm25_topk(docs, ["vector", "hash"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -89,3 +89,40 @@ def test_top_ngrams_matches_python_reference(spark):
                 counts[" ".join(toks[i:i + 3])] += 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+def test_bm25_matches_python_reference(spark):
+    """Spark BM25 equals a plain-Python computation (Robertson idf,
+    k1=1.2, b=0.75) on real test data, including the rounded-score +
+    id tie-break ordering."""
+    import math
+    import re
+    from collections import Counter
+
+    from vision_parse_spark.operators.corpus_stats import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["vector", "hash", "join"]
+    got = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=10).collect()]
+
+    rows = [(r.doc_id, re.split(r"[ \t\n\x0b\f\r]+",
+                                (r.text or "").strip().lower()))
+            for r in docs.select("doc_id", "text").collect()]
+    rows = [(i, [t for t in toks if t]) for i, toks in rows]
+    n = len(rows)
+    avgdl = sum(len(t) for _, t in rows) / n
+    dfreq = {q: sum(1 for _, t in rows if q in t) for q in terms}
+    scores = {}
+    for i, toks in rows:
+        c = Counter(toks)
+        s = 0.0
+        for q in terms:
+            tf = c.get(q, 0)
+            if tf == 0 or dfreq[q] == 0:
+                continue
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 4)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want

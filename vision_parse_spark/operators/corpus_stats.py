@@ -17,6 +17,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"
+              ) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck Jones idf, the
+    standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` variant): top-``k``
+    docs for a bag of query terms, fully Catalyst — no UDF.
+
+    Scale shape (100 TB): term frequencies come from ONE explode
+    filtered to the query's terms before the aggregation (so the
+    shuffled volume is per-(query-term, doc), not per-token); document
+    frequencies aggregate from that same tf relation and broadcast
+    back; corpus stats (N, avgdl) broadcast as a 1-row cross join; the
+    final top-k is a bounded TakeOrderedAndProject.  Ranking uses the
+    4-decimal-rounded score with an id tie-break so the order is
+    reproducible across engines (raw float sums differ at ~1e-12 by
+    association order)."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+    d = (df.select(id_col, toks.alias("_toks"))
+         .withColumn("dl", F.size("_toks")))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5)
+        / (F.col("df_t") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                k: int = 50) -> DataFrame:
     """Top-``k`` word ``n``-grams by corpus frequency (every
