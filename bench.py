@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "repetition_stats",
     "dup_clusters",
     "decontaminate",
+    # round 5: corpus stats (bounded top-k) and lexical retrieval
+    "top_ngrams",
+    "bm25",
 ]
 
 

@@ -330,3 +330,13 @@ def test_dup_clusters_long_chain_converges(spark):
     rows = dup_clusters(pairs).collect()
     assert len(rows) == 41
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_simhash_near_dups_rejects_wide_hamming(spark, docs):
+    """The Manku table count is C(k+3, 3); hamming budgets past 12
+    would explode the per-doc bucket rows, so the operator refuses
+    them with a clear error."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(docs, max_hamming=13)
