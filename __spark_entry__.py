@@ -275,6 +275,19 @@ def _q_top_ngrams(spark, sf_dir):
     return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=50)
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Frequent-span removal (Lee et al. 2022 repeated-substring
+    dedup): cut every token covered by a 3-gram occurring in > 3
+    distinct docs.  One full-corpus shuffle (two-stage distinct agg
+    for gram doc-frequency); the cover re-agg and final join touch
+    only boilerplate hits; the cut is a codegen'd higher-order
+    filter, no UDF."""
+    from vision_parse_spark.operators.spans import remove_frequent_spans
+
+    return remove_frequent_spans(_t(spark, sf_dir, "documents"),
+                                 n=3, max_df=3)
+
+
 def _q_bm25(spark, sf_dir):
     """BM25 lexical retrieval: top-10 docs for a fixed 3-term query,
     Robertson idf, Catalyst-only (no UDF).  Ranking on the rounded
@@ -719,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "top_ngrams": _q_top_ngrams,
+        "span_dedup": _q_span_dedup,
         "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
@@ -1124,6 +1138,42 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY ngram
             ORDER BY freq DESC, ngram ASC
             LIMIT 50
+        """,
+        "span_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents),
+            sp AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[i + 1 : i + 3], ' ') AS gram
+              FROM d, unnest(range(len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            fr AS (
+              SELECT gram
+              FROM (SELECT gram, count(DISTINCT doc_id) AS c
+                    FROM sp GROUP BY gram)
+              WHERE c > 3),
+            cov AS (
+              SELECT doc_id, list(pos) AS starts
+              FROM sp JOIN fr USING (gram) GROUP BY doc_id),
+            cut AS (
+              SELECT d.doc_id,
+                     CASE WHEN c.starts IS NULL THEN t
+                          ELSE list_filter(t, (x, i) ->
+                                 len(list_filter(c.starts, s ->
+                                     s <= i - 1 AND i - 1 <= s + 2)) = 0)
+                     END AS kept,
+                     len(t) AS lt
+              FROM d LEFT JOIN cov c USING (doc_id))
+            SELECT doc_id,
+                   -- DuckDB's array_to_string([]) is NULL; Spark's
+                   -- concat_ws over an empty array is '' -> align
+                   coalesce(array_to_string(kept, ' '), '')
+                     AS clean_text,
+                   lt - len(kept) AS n_removed
+            FROM cut
         """,
         "bm25": r"""
             WITH d AS (

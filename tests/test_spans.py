@@ -1,0 +1,105 @@
+"""Frequent-span removal (operators/spans.py) — Lee-et-al-style
+repeated-substring dedup.  Hand-built corpora pin the span semantics
+(whole covered span cut, not per-gram instance), passthrough edges,
+and the census relation; the entry contract test + DuckDB oracle
+cover the full-corpus replay."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vision_parse_spark.operators.spans import (
+    frequent_spans,
+    remove_frequent_spans,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_boilerplate_span_cut_everywhere(spark):
+    # "legal header text" appears in 3 docs; with max_df=2 it is
+    # frequent and every covered token is cut, in every doc.
+    texts = [
+        "legal header text alpha one",
+        "beta legal header text two",
+        "gamma delta legal header text",
+        "unique words only here",
+    ]
+    out = {r.doc_id: r for r in
+           remove_frequent_spans(_docs(spark, texts), n=3, max_df=2)
+           .collect()}
+    assert out[0].clean_text == "alpha one" and out[0].n_removed == 3
+    assert out[1].clean_text == "beta two" and out[1].n_removed == 3
+    assert out[2].clean_text == "gamma delta" and out[2].n_removed == 3
+    assert out[3].clean_text == "unique words only here"
+    assert out[3].n_removed == 0
+
+
+def test_overlapping_spans_cut_union_of_cover(spark):
+    # Two frequent grams overlap ("a b c" and "b c d"): the cut is
+    # the union of their covers, so "a b c d" goes, "tail" stays.
+    texts = ["a b c d tail%d" % i for i in range(4)]
+    out = remove_frequent_spans(_docs(spark, texts), n=3,
+                                max_df=2).collect()
+    for r in out:
+        assert r.clean_text.startswith("tail")
+        assert r.n_removed == 4
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    texts = ["a b", "", "   ", "x"]
+    out = {r.doc_id: r for r in
+           remove_frequent_spans(_docs(spark, texts), n=3,
+                                 max_df=0).collect()}
+    assert len(out) == 4
+    assert out[0].clean_text == "a b" and out[0].n_removed == 0
+    assert out[1].clean_text == "" and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_removed == 0
+    assert out[3].clean_text == "x" and out[3].n_removed == 0
+
+
+def test_below_threshold_grams_survive(spark):
+    # df == max_df is NOT frequent (strict >): nothing is removed.
+    texts = ["shared gram here pad1", "shared gram here pad2"]
+    out = remove_frequent_spans(_docs(spark, texts), n=3,
+                                max_df=2).collect()
+    assert all(r.n_removed == 0 for r in out)
+
+
+def test_normalized_token_space(spark):
+    # Mixed case / extra whitespace normalize before matching, and
+    # clean_text is re-joined in that normalized space.
+    texts = ["The  Quick   FOX runs", "the quick fox sleeps",
+             "THE QUICK FOX jumps"]
+    out = {r.doc_id: r for r in
+           remove_frequent_spans(_docs(spark, texts), n=3,
+                                 max_df=2).collect()}
+    assert out[0].clean_text == "runs"
+    assert out[1].clean_text == "sleeps"
+    assert out[2].clean_text == "jumps"
+
+
+def test_frequent_spans_census(spark):
+    texts = ["a b c x%d" % i for i in range(5)] + ["d e f only once"]
+    fs = {r.gram: r.doc_freq for r in
+          frequent_spans(_docs(spark, texts), n=3, max_df=3).collect()}
+    assert fs == {"a b c": 5}
+
+
+def test_n_validation(spark):
+    with pytest.raises(ValueError):
+        remove_frequent_spans(_docs(spark, ["a"]), n=0)
+
+
+def test_row_count_preserved_on_real_table(spark, sf_dir="/root/testdata/sf0.001"):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_frequent_spans(df, n=3, max_df=3)
+    assert out.count() == df.count()
+    # nothing negative, nothing over the doc length
+    bad = (out.join(df.select("doc_id", "n_chars"), "doc_id")
+              .filter((F.col("n_removed") < 0)
+                      | (F.length("clean_text") > F.col("n_chars") + 1))
+              .count())
+    assert bad == 0

@@ -1,0 +1,111 @@
+"""Corpus-level frequent-span removal (repeated-substring dedup).
+
+Not present in the reference (it has no corpus-level ops).  This is
+the span-granularity complement to document-level dedup, after
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better"): token spans (word ``n``-grams) that recur across more than
+``max_df`` distinct documents are boilerplate — navigation chrome,
+license headers, templated disclaimers — and are cut out of every
+document while the surrounding unique text is kept.
+
+Scale design (100 TB):
+
+* The only full-corpus shuffle is the span doc-frequency aggregation,
+  and it is Spark's two-stage distinct aggregate (partial distinct on
+  the map side, so the exchange carries (gram, doc_id) pairs already
+  locally deduplicated).
+* Everything downstream is proportional to the *boilerplate hits*,
+  not the corpus: the frequent-gram set (spans with df > ``max_df``)
+  is joined back to the span stream, and only the matching rows are
+  re-aggregated per document into a covered-start list.  Documents
+  with no frequent span never shuffle again — they flow through the
+  final left join untouched (AQE turns the cover side into a
+  broadcast when it is small, the common case).
+* The cut itself is a narrow Catalyst projection: a higher-order
+  ``filter`` with the token index, testing coverage against the
+  per-doc start list via ``exists`` — no UDF, stays inside
+  whole-stage codegen.
+
+The output text is re-joined from the normalized token stream
+(lower/trim/split ``\\s+`` — the same recipe as the dedup/shingle
+family), so ``clean_text`` is in normalized token space, not the raw
+input byte stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+
+
+def remove_frequent_spans(df: DataFrame, n: int = 3, max_df: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text"
+                          ) -> DataFrame:
+    """Cut every token covered by a word ``n``-gram that occurs in
+    more than ``max_df`` distinct documents.
+
+    Returns ``(id_col, clean_text, n_removed)`` — one row per input
+    row (documents shorter than ``n`` tokens, or with no frequent
+    span, pass through with ``n_removed = 0``).  A token at position
+    ``p`` is removed iff some frequent gram starts at
+    ``s in [p - n + 1, p]``, i.e. the whole span is cut, matching the
+    Lee-et-al span semantics rather than per-gram-instance removal.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = (df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+              .withColumn("_len", F.size("_toks")))
+
+    grams = F.expr(
+        f"transform(sequence(0, _len - {n}), "
+        f"i -> struct(i as pos, concat_ws(' ', slice(_toks, i + 1, {n}))"
+        f" as gram))")
+    spans = (toks.filter(F.col("_len") >= n)
+                 .select(id_col, F.explode(grams).alias("_s"))
+                 .select(id_col, F.col("_s.pos").alias("pos"),
+                         F.col("_s.gram").alias("gram")))
+
+    frequent = (spans.groupBy("gram")
+                .agg(F.countDistinct(id_col).alias("_df"))
+                .filter(F.col("_df") > max_df)
+                .select("gram"))
+
+    cover = (spans.join(frequent, "gram")
+                  .groupBy(id_col)
+                  .agg(F.collect_list("pos").alias("_starts")))
+
+    out = (toks.join(cover, id_col, "left")
+               .withColumn("_starts",
+                           F.coalesce("_starts",
+                                      F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, p: ~F.exists(
+            F.col("_starts"),
+            lambda s: (s <= p) & (p <= s + F.lit(n - 1))))
+    return (out.withColumn("_kept", kept)
+               .select(F.col(id_col),
+                       F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+                       (F.col("_len") - F.size("_kept")).alias("n_removed")))
+
+
+def frequent_spans(df: DataFrame, n: int = 3, max_df: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text"
+                   ) -> DataFrame:
+    """The boilerplate census itself: ``(gram, doc_freq)`` for every
+    ``n``-gram appearing in more than ``max_df`` distinct documents.
+    Same doc-frequency relation ``remove_frequent_spans`` prunes
+    with, exposed for threshold tuning and corpus audits."""
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    grams = F.expr(
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))")
+    return (toks.filter(F.size("_toks") >= n)
+                .select(id_col, F.explode(grams).alias("gram"))
+                .groupBy("gram")
+                .agg(F.countDistinct(id_col).alias("doc_freq"))
+                .filter(F.col("doc_freq") > max_df))
