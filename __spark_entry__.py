@@ -607,6 +607,27 @@ def _q_embedding_dup_clusters(spark, sf_dir):
         F.col("doc_id").alias("vec_id"), "cluster_id")
 
 
+def _q_kmeans_assign(spark, sf_dir):
+    """Distributed KMeans (Lloyd's, 2 update steps, k=8): centroids
+    are driver control-plane literals; assignment is pure-Catalyst
+    zip_with distances with first-min tie-break; the update exchange
+    carries <= k rows per map partition.  Oracle replays the exact
+    iteration chain as CTEs."""
+    from vision_parse_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): KMeans cells confine the
+    near-dup candidate pairs (never all-pairs), greedy lowest-id
+    survivor rule as one anti-join — no iterative CC."""
+    from vision_parse_spark.operators.clustering import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), k=8, iters=2,
+                    threshold=0.3)
+
+
 def _q_explode_pages(spark, sf_dir):
     # S2 page enumeration (parser.py:166-191) for multi-page payloads:
     # posexplode over form-feed split, row-per-page
@@ -757,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup": _q_semdedup,
         "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -807,6 +830,56 @@ def oracle_sql() -> dict[str, str]:
         f" THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+    # kmeans oracle: replay the exact Lloyd chain (init = 8 lowest
+    # vec_ids in id order; 2 update steps; empty cells keep their
+    # centroid; argmin tie-breaks on the lower cluster id) as CTEs.
+    # list_distance ordering == the operator's squared-distance
+    # ordering (sqrt is strictly monotonic).
+    def _kmeans_ctes(k: int, iters: int, dim: int = 64) -> str:
+        def assign(t):
+            return (
+                f"a{t} AS (SELECT vec_id, cid AS cluster FROM ("
+                f"SELECT e.vec_id, c.cid, row_number() OVER ("
+                f"PARTITION BY e.vec_id ORDER BY "
+                f"list_distance(e.v, c.cent), c.cid) AS rn "
+                f"FROM emb e CROSS JOIN c{t} c) WHERE rn = 1)")
+        ctes = [
+            "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+            " FROM embeddings)",
+            f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cid, v AS cent FROM (SELECT vec_id, v FROM emb"
+            f" ORDER BY vec_id LIMIT {k}))",
+        ]
+        for t in range(iters):
+            ctes.append(assign(t))
+            ctes.append(
+                f"u{t} AS (SELECT cluster AS cid, list(m ORDER BY i)"
+                f" AS cent FROM (SELECT a.cluster, u.i, avg(e.v[u.i])"
+                f" AS m FROM a{t} a JOIN emb e USING (vec_id),"
+                f" unnest(range(1, {dim + 1})) AS u(i)"
+                f" GROUP BY a.cluster, u.i) GROUP BY cluster)")
+            ctes.append(
+                f"c{t + 1} AS (SELECT p.cid, coalesce(u.cent, p.cent)"
+                f" AS cent FROM c{t} p LEFT JOIN u{t} u USING (cid))")
+        ctes.append(assign(iters))
+        return ",\n".join(ctes)
+
+    kmeans_sql = (
+        "WITH " + _kmeans_ctes(8, 2)
+        + "\nSELECT vec_id, cluster FROM a2")
+    semdedup_sql = (
+        "WITH " + _kmeans_ctes(8, 2) + """,
+        tagged AS (
+          SELECT e.vec_id, e.v, a.cluster
+          FROM emb e JOIN a2 a USING (vec_id)),
+        dropped AS (
+          SELECT DISTINCT hi.vec_id
+          FROM tagged lo JOIN tagged hi
+            ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+          WHERE list_cosine_similarity(lo.v, hi.v) >= 0.3)
+        SELECT e.vec_id FROM emb e
+        ANTI JOIN dropped d ON e.vec_id = d.vec_id""")
 
     # minhash_dedup oracle: replay the whole portable LSH pipeline
     # (md5 shingle hashes -> 32 affine perms -> 16 bands of 2 ->
@@ -1495,6 +1568,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.3
         """,
+        "kmeans_assign": kmeans_sql,
+        "semdedup": semdedup_sql,
         "embedding_dup_clusters": f"""
             WITH RECURSIVE b AS (
               SELECT vec_id, embedding, {bucket_sql} AS lsh_bucket
