@@ -609,10 +609,11 @@ def _q_embedding_dup_clusters(spark, sf_dir):
 
 def _q_kmeans_assign(spark, sf_dir):
     """Distributed KMeans (Lloyd's, 2 update steps, k=8): centroids
-    are driver control-plane literals; assignment is pure-Catalyst
-    zip_with distances with first-min tie-break; the update exchange
-    carries <= k rows per map partition.  Oracle replays the exact
-    iteration chain as CTEs."""
+    are driver control-plane state re-broadcast per iteration;
+    assignment is a tiled Arrow squared-distance argmin (first-min
+    tie-break = lowest cluster id); the update exchange carries <= k
+    rows per map partition.  Oracle replays the exact iteration
+    chain as CTEs."""
     from vision_parse_spark.operators.clustering import kmeans_assign
 
     return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)

@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     # round 5: corpus stats (bounded top-k) and lexical retrieval
     "top_ngrams",
     "bm25",
+    # round 5: span-level corpus dedup (distinct-agg + broadcast
+    # cover join) and KMeans-cell semantic dedup (Lloyd's control
+    # plane + within-cell cosine prune)
+    "span_dedup",
+    "semdedup",
 ]
 
 
