@@ -288,6 +288,16 @@ def _q_span_dedup(spark, sf_dir):
                                  n=3, max_df=3)
 
 
+def _q_postings(spark, sf_dir):
+    """Inverted-index build: (term, df, ctf, sorted doc_id:tf
+    posting string).  One term shuffle after a map-side-combined
+    (term, doc) count; posting rendered as a string for
+    engine-portable layout."""
+    from vision_parse_spark.operators.corpus_stats import build_postings
+
+    return build_postings(_t(spark, sf_dir, "documents"), min_df=2)
+
+
 def _q_bm25(spark, sf_dir):
     """BM25 lexical retrieval: top-10 docs for a fixed 3-term query,
     Robertson idf, Catalyst-only (no UDF).  Ranking on the rounded
@@ -755,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "top_ngrams": _q_top_ngrams,
         "span_dedup": _q_span_dedup,
+        "postings": _q_postings,
         "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
@@ -1248,6 +1259,24 @@ def oracle_sql() -> dict[str, str]:
                      AS clean_text,
                    lt - len(kept) AS n_removed
             FROM cut
+        """,
+        "postings": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM d)
+              GROUP BY term, doc_id)
+            SELECT term,
+                   count(*) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS term_freq,
+                   string_agg(doc_id || ':' || tf, ','
+                              ORDER BY doc_id) AS postings
+            FROM tf GROUP BY term
+            HAVING count(*) >= 2
         """,
         "bm25": r"""
             WITH d AS (

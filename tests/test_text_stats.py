@@ -126,3 +126,46 @@ def test_bm25_matches_python_reference(spark):
             scores[i] = round(s, 4)
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_build_postings_layout_and_counts(spark):
+    """Inverted index: df/ctf stats, doc-id-sorted doc:tf posting
+    string, min_df pruning."""
+    import pandas as pd
+
+    from vision_parse_spark.operators.corpus_stats import build_postings
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [5, 2, 9],
+        "text": ["cat dog cat", "dog", "cat mouse"],
+    }))
+    rows = {r.term: r for r in build_postings(df, min_df=1).collect()}
+    assert rows["cat"].doc_freq == 2 and rows["cat"].term_freq == 3
+    assert rows["cat"].postings == "5:2,9:1"
+    assert rows["dog"].postings == "2:1,5:1"
+    assert rows["mouse"].doc_freq == 1
+    pruned = {r.term for r in build_postings(df, min_df=2).collect()}
+    assert pruned == {"cat", "dog"}
+
+
+def test_build_postings_matches_python_reference(spark):
+    import re
+    from collections import Counter, defaultdict
+
+    from vision_parse_spark.operators.corpus_stats import build_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.term: (r.doc_freq, r.term_freq, r.postings)
+           for r in build_postings(docs, min_df=2).collect()}
+
+    tf = defaultdict(Counter)
+    for doc_id, text in docs.select("doc_id", "text").collect():
+        for t in re.split(r"[ \t\n\x0b\f\r]+", (text or "").strip().lower()):
+            if t:
+                tf[t][doc_id] += 1
+    want = {}
+    for term, c in tf.items():
+        if len(c) >= 2:
+            post = ",".join(f"{d}:{n}" for d, n in sorted(c.items()))
+            want[term] = (len(c), sum(c.values()), post)
+    assert got == want

@@ -64,6 +64,42 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
 
+def build_postings(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_df: int = 1) -> DataFrame:
+    """Inverted-index posting lists: one row per term with its
+    document frequency, corpus term frequency and the posting list
+    itself — ``doc_id:tf`` pairs sorted by doc id, rendered as a
+    string so the layout is engine-portable (struct-array rendering
+    is not).
+
+    Scale shape (100 TB): explode -> (term, doc) map-side-combined
+    count -> ONE shuffle on the term for the sorted collect; terms
+    below ``min_df`` are pruned AFTER the per-term agg so the filter
+    sees the already-combined relation.  Posting lists of web-scale
+    stopwords are long — at the 100 TB tier you'd shard the hottest
+    terms (term, shard) before the collect; the df/tf columns here
+    are exactly the statistics that pick those terms.
+    """
+    toks = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).alias("tf")))
+    posting = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("d"),
+                                                 F.col("tf").alias("t")))),
+            lambda s: F.concat_ws(":", s["d"].cast("string"),
+                                  s["t"].cast("string"))))
+    return (tf.groupBy("term")
+              .agg(F.count(F.lit(1)).alias("doc_freq"),
+                   F.sum("tf").alias("term_freq"),
+                   posting.alias("postings"))
+              .filter(F.col("doc_freq") >= min_df))
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                k: int = 50) -> DataFrame:
     """Top-``k`` word ``n``-grams by corpus frequency (every
