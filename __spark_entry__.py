@@ -462,6 +462,20 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_resample_mixture(spark, sf_dir):
+    """Training-mixture resampling: downsample to 50/25/25 across
+    three sources at the largest reachable total (no upsampling):
+    T = min_s count_s/w_s.  One control-plane per-stratum count +
+    a narrow md5-bucket filter; no shuffle, no UDF.  Weights are
+    exact binary fractions so the fraction arithmetic replays
+    bit-identically in the oracle."""
+    from vision_parse_spark.operators.sampling import resample_mixture
+
+    return resample_mixture(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+
+
 def _q_minhash_signature(spark, sf_dir):
     # DuckDB-checkable MinHash: md5-based shingle hashes (portable
     # across engines, unlike xxhash64/pandas-hash) with 4 affine
@@ -773,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": _q_minhash_signature,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
+        "resample_mixture": _q_resample_mixture,
         "scrub_pii": _q_scrub_pii,
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
@@ -1508,6 +1523,27 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 1000 < 800
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
+        """,
+        "resample_mixture": """
+            WITH w AS (
+              SELECT * FROM (VALUES
+                ('src0', CAST(0.5  AS DOUBLE)),
+                ('src1', CAST(0.25 AS DOUBLE)),
+                ('src2', CAST(0.25 AS DOUBLE))) AS t(s, wt)),
+            cnt AS (SELECT source AS s, count(*) AS n
+                    FROM documents GROUP BY source),
+            j AS (SELECT w.s, w.wt, cnt.n
+                  FROM w JOIN cnt ON w.s = cnt.s),
+            tt AS (SELECT min(n / wt) AS t FROM j),
+            fr AS (SELECT s,
+                          least(CAST(1.0 AS DOUBLE), (wt * t) / n) AS f
+                   FROM j, tt)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d JOIN fr ON d.source = fr.s
+            WHERE CAST(('0x' || substring(
+                      md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000
+                  < CAST(floor(f * 1000000) AS BIGINT)
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

@@ -1,5 +1,6 @@
 """Deterministic hash-based sampling / split assignment."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from vision_parse_spark.operators.sampling import (
@@ -104,3 +105,49 @@ def test_stratified_sample_plan_is_narrow(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_resample_mixture_reaches_target_shares(spark):
+    """Skewed input (80/10/10) resampled to 50/25/25: the rare
+    strata bind (kept fully), the dominant one downsamples; realised
+    shares land within hash-bucket noise of the target."""
+    from vision_parse_spark.operators.sampling import resample_mixture
+
+    rows = ([(i, "web") for i in range(8000)]
+            + [(i + 8000, "code") for i in range(1000)]
+            + [(i + 9000, "papers") for i in range(1000)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = resample_mixture(df, "source",
+                           {"web": 0.5, "code": 0.25, "papers": 0.25})
+    got = {r.source: r.n for r in
+           out.groupBy("source").count().withColumnRenamed("count", "n")
+              .collect()}
+    # T = min(8000/.5, 1000/.25, 1000/.25) = 4000
+    assert got["code"] == 1000 and got["papers"] == 1000   # frac 1.0
+    assert abs(got["web"] - 2000) < 150                    # frac 0.25
+
+
+def test_resample_mixture_drops_unweighted_and_is_deterministic(spark):
+    from vision_parse_spark.operators.sampling import resample_mixture
+
+    rows = [(i, ["a", "b", "junk"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = resample_mixture(df, "source", {"a": 0.5, "b": 0.5})
+    assert out1.filter("source = 'junk'").count() == 0
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    ids2 = sorted(r.doc_id for r in
+                  resample_mixture(df.repartition(7), "source",
+                                   {"a": 0.5, "b": 0.5}).collect())
+    assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_resample_mixture_validation(spark):
+    from vision_parse_spark.operators.sampling import resample_mixture
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        resample_mixture(df, "source", {})
+    with pytest.raises(ValueError):
+        resample_mixture(df, "source", {"a": 0.0})
+    with pytest.raises(ValueError):
+        resample_mixture(df, "source", {"a": 0.5, "ghost": 0.5})

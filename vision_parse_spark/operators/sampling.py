@@ -71,6 +71,57 @@ def stratified_sample(
     return df.filter(b < thr)
 
 
+def resample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Downsample to a target source mixture (the training-mixture
+    curation step: "make the corpus 50% web / 30% code / 20%
+    papers").  Picks the largest total T reachable WITHOUT
+    upsampling — ``T = min_s count_s / w_s`` — then keeps each
+    stratum at ``w_s * T / count_s`` via the same keyed md5 bucket
+    as ``hash_sample``, so membership is deterministic across runs,
+    engines and partitionings.  Strata absent from ``weights`` are
+    dropped (weight 0).
+
+    Scale shape: one control-plane aggregate (a row per stratum,
+    collected to compute the fractions) + a narrow codegen'd filter;
+    no data shuffle, no UDF.  Weights need not sum to 1 (normalized
+    internally); raises if a weighted stratum has no rows, since the
+    mixture would be unreachable (T = 0).
+    """
+    if not weights:
+        raise ValueError("resample_mixture: weights must be non-empty")
+    for k, w in weights.items():
+        if w <= 0.0:
+            raise ValueError(f"weight for {k!r} must be > 0: {w}")
+    wsum = sum(weights.values())
+    norm = {k: w / wsum for k, w in weights.items()}
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+                   .collect()
+        if r[strata_col] in norm
+    }
+    missing = sorted(set(norm) - set(counts))
+    if missing:
+        raise ValueError(
+            f"resample_mixture: no rows for weighted strata {missing}")
+    total = min(counts[k] / norm[k] for k in norm)
+    fracs = {k: min(1.0, (norm[k] * total) / counts[k]) for k in norm}
+
+    b = hash_bucket(key_col, buckets)
+    thr: Column = F.lit(0)
+    for k in sorted(fracs):
+        thr = F.when(F.col(strata_col) == k,
+                     F.lit(int(fracs[k] * buckets))).otherwise(thr)
+    return df.filter(b < thr)
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,
