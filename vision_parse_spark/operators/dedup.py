@@ -429,6 +429,17 @@ def dup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: labels are MONOTONE NON-INCREASING (least of
+    # own and neighbor minima; the pointer jump substitutes a label
+    # whose own label is <= it), so the exact label sum strictly
+    # decreases until the fixed point — an unchanged sum IS
+    # convergence.  One single-row aggregate per round instead of a
+    # changed-count join against the previous labels.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
@@ -454,15 +465,11 @@ def dup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.cluster_id != o.cluster_id")
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     # exhausting max_iter without a fixed point means cluster_id may
     # not be the component minimum — silently returning would let
     # downstream representative-picking split one duplicate cluster
@@ -471,7 +478,7 @@ def dup_clusters(
     # ~2^20; hitting this is a genuine anomaly, not a tuning knob.
     raise RuntimeError(
         f"dup_clusters did not converge within max_iter={max_iter} "
-        f"rounds ({changed} labels still changing); raise max_iter"
+        f"rounds (label sum still decreasing); raise max_iter"
     )
 
 
