@@ -152,3 +152,31 @@ def test_bm25_broadcasts_stats_and_bounds_topk(docs):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_stays_jvm_side_and_broadcasts_cover(spark):
+    """remove_frequent_spans: no Python in the plan (the cut is a
+    codegen'd higher-order filter), no sort-merge join (frequent set
+    and cover side broadcast), and the only SHUFFLE exchanges belong
+    to the doc-frequency distinct agg + the per-doc cover re-agg."""
+    from vision_parse_spark.operators.spans import remove_frequent_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(remove_frequent_spans(docs, n=3, max_df=3))
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert n_shuffles(plan) <= 6
+
+
+def test_semdedup_confines_pairs_to_cells(spark):
+    """semdedup: the within-cell self-join must be an equi-join on
+    the cluster id — never a cartesian product — and the final
+    survivor step a broadcast-able anti-join."""
+    from vision_parse_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(semdedup(emb, k=4, iters=1, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
