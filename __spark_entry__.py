@@ -51,6 +51,13 @@ def _ensure_pkg(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every contract query reads through here, so every query gets
+    # the package shipped — UDF closures in package modules pickle BY
+    # REFERENCE (cloudpickle), and a vanilla session built from a
+    # foreign cwd has no other way to import them on workers (the
+    # round-5 verify probe caught curate failing exactly this way;
+    # addPyFile is idempotent, the zip rebuilds only on mtime change)
+    _ensure_pkg(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -862,8 +869,9 @@ def oracle_sql() -> dict[str, str]:
     # vec_ids in id order; 2 update steps; empty cells keep their
     # centroid; argmin tie-breaks on the lower cluster id) as CTEs.
     # list_distance ordering == the operator's squared-distance
-    # ordering (sqrt is strictly monotonic).
-    def _kmeans_ctes(k: int, iters: int, dim: int = 64) -> str:
+    # ordering (sqrt is strictly monotonic).  Dimensionality comes
+    # from the data (len(e.v)), not a literal.
+    def _kmeans_ctes(k: int, iters: int) -> str:
         def assign(t):
             return (
                 f"a{t} AS (SELECT vec_id, cid AS cluster FROM ("
@@ -884,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
                 f"u{t} AS (SELECT cluster AS cid, list(m ORDER BY i)"
                 f" AS cent FROM (SELECT a.cluster, u.i, avg(e.v[u.i])"
                 f" AS m FROM a{t} a JOIN emb e USING (vec_id),"
-                f" unnest(range(1, {dim + 1})) AS u(i)"
+                f" unnest(range(1, len(e.v) + 1)) AS u(i)"
                 f" GROUP BY a.cluster, u.i) GROUP BY cluster)")
             ctes.append(
                 f"c{t + 1} AS (SELECT p.cid, coalesce(u.cent, p.cent)"

@@ -82,6 +82,21 @@ def test_semdedup_greedy_survivors(spark):
     assert ids == [0, 3]
 
 
+def test_semdedup_chain_collapses_to_minimum(spark):
+    # a~b and b~c but NOT a~c: the drop rule is "any lower-id
+    # witness, surviving or not", so b AND c both go — chains
+    # collapse to the minimum (documented; dup_clusters +
+    # representatives is the keep-chain-ends alternative)
+    import math
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+    rows = [(0, at(0)), (1, at(15)), (2, at(30))]
+    ids = sorted(r.vec_id for r in
+                 semdedup(_vecs(spark, rows), k=1, iters=0,
+                          threshold=0.95).collect())
+    assert ids == [0]
+
+
 def test_semdedup_cross_cluster_dups_both_survive(spark):
     # near-identical pair split across far-apart cluster seeds can
     # both survive: SemDeDup only prunes within a cell.  Construct

@@ -332,6 +332,23 @@ def test_dup_clusters_long_chain_converges(spark):
     assert {r.cluster_id for r in rows} == {0}
 
 
+def test_dup_clusters_string_ids_converge(spark):
+    """String doc keys have no label sum (the decimal cast would be
+    NULL and falsely 'converge' round 1): the loop must fall back to
+    the join-based changed count and still reach the lexicographic
+    component minimum on a chain."""
+    from vision_parse_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(9)]
+        + [("z1", "z2")],
+        ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert len(out) == 12
+    assert {v for k, v in out.items() if k.startswith("d")} == {"d00"}
+    assert out["z1"] == out["z2"] == "z1"
+
+
 def test_simhash_near_dups_rejects_wide_hamming(spark, docs):
     """The Manku table count is C(k+3, 3); hamming budgets past 12
     would explode the per-doc bucket rows, so the operator refuses

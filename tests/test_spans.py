@@ -91,6 +91,8 @@ def test_frequent_spans_census(spark):
 def test_n_validation(spark):
     with pytest.raises(ValueError):
         remove_frequent_spans(_docs(spark, ["a"]), n=0)
+    with pytest.raises(ValueError):
+        frequent_spans(_docs(spark, ["a"]), n=0)
 
 
 def test_row_count_preserved_on_real_table(spark, sf_dir="/root/testdata/sf0.001"):

@@ -13,6 +13,25 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+
+def ws_tokens_sql(text_col: str) -> str:
+    """The corpus-wide normalized token stream as a Spark SQL
+    expression string: lower / trim / split on ``\\s+`` / drop
+    empties.  ONE definition shared by the dedup, SimHash, span,
+    repetition, BM25 and postings operators — every DuckDB oracle
+    replays this exact recipe (``string_split_regex(lower(trim(..)),
+    '\\s+')`` + empty filter), so all call sites must stay
+    byte-identical.  Change here = change everywhere + re-check the
+    oracles."""
+    return f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+
+
+def ws_tokens(text_col: str):
+    """Column form of :func:`ws_tokens_sql`."""
+    from pyspark.sql import functions as F
+
+    return F.expr(ws_tokens_sql(text_col))
+
 # tiny marker-word inventories per language (deterministic heuristic —
 # the point is the vectorized counting pattern, not linguistic recall)
 LANG_MARKERS: dict[str, list[str]] = {

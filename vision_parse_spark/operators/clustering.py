@@ -77,6 +77,11 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
     Init: the ``k`` lowest-``id_col`` vectors, in id order (cluster
     ``j`` starts at the rank-``j`` vector).  A cluster that captures
     no points keeps its previous centroid.
+
+    The returned DataFrame ``(id_col, _v)`` is persisted — the
+    CALLER owns the cache and must ``unpersist()`` it once its
+    derived result is materialized (``kmeans_assign``/``semdedup``
+    checkpoint their outputs and release it immediately).
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0; got k={k} iters={iters}")
@@ -154,10 +159,14 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   dim: int | None = None) -> DataFrame:
     """``(id_col, cluster)`` after ``iters`` Lloyd update steps —
-    the assignment against the final centroids."""
+    the assignment against the final centroids.  Eager: the (small)
+    assignment is checkpointed so the fit cache can be released."""
     centroids, data = kmeans_fit(df, k=k, iters=iters, id_col=id_col,
                                  vec_col=vec_col, dim=dim)
-    return data.select(F.col(id_col), _assign_col("_v", centroids))
+    out = (data.select(F.col(id_col), _assign_col("_v", centroids))
+               .localCheckpoint(eager=True))
+    data.unpersist()
+    return out
 
 
 def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
@@ -166,15 +175,14 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
              dim: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by KMeans
     partitioning + within-cluster cosine pruning.  Returns the
-    SURVIVOR set ``(id_col,)``: an embedding is dropped iff some
-    LOWER-id embedding in the same cluster is within cosine >=
-    ``threshold`` of it (the greedy lowest-id-first keep order), so
-    every dropped doc has a surviving-or-itself-dropped witness
-    below it and no two survivors in a cell are near-duplicates of
-    each other... unless only via a dropped intermediate — the
-    greedy rule deliberately keeps such "chain ends" (they are not
-    near-dups of any survivor), unlike connected-components
-    min-label which would collapse whole chains.
+    SURVIVOR set ``(id_col,)``: an embedding is dropped iff ANY
+    lower-id embedding in the same cluster is within cosine >=
+    ``threshold`` of it — whether or not that witness itself
+    survives.  Chains therefore collapse toward their minimum (a—b
+    and b—c drops both b and c even when cos(a, c) < threshold),
+    the aggressive end of the SemDeDup family; for the
+    keep-chain-ends alternative run ``dup_clusters`` over the
+    near-dup pair graph and pick per-component representatives.
 
     Scale shape: candidate pairs are confined to KMeans cells (the
     SemDeDup trick — never all-pairs); the within-cell self-join
@@ -184,14 +192,18 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
     smaller-id near-duplicate in its cell, the standard SemDeDup
     greedy order).
     """
-    assign = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
-                           vec_col=vec_col, dim=dim)
+    centroids, data = kmeans_fit(df, k=k, iters=iters, id_col=id_col,
+                                 vec_col=vec_col, dim=dim)
     sq = F.aggregate(F.zip_with("_v", "_v", lambda x, y: x * y),
                      F.lit(0.0), lambda acc, x: acc + x)
-    vecs = (df.select(F.col(id_col),
-                      F.col(vec_col).cast("array<double>").alias("_v"))
-              .withColumn("_nm", F.sqrt(sq)))   # norm once per row,
-    tagged = vecs.join(assign, id_col)          # not once per pair
+    # one pass over the fit cache: final assignment + per-row norm
+    # (not once per pair); checkpointed because the self-join below
+    # reads it twice, then the fit cache is released
+    tagged = (data.select(F.col(id_col), "_v",
+                          _assign_col("_v", centroids))
+                  .withColumn("_nm", F.sqrt(sq))
+                  .localCheckpoint(eager=True))
+    data.unpersist()
 
     a = tagged.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
                       F.col("_nm").alias("_na"), F.col("cluster").alias("_c"))

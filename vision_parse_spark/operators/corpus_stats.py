@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from vision_parse_spark.functions.text_stats import ws_tokens
+
 
 def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
@@ -35,8 +37,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     reproducible across engines (raw float sums differ at ~1e-12 by
     association order)."""
     terms = sorted({t.lower() for t in query_terms})
-    toks = F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+    toks = ws_tokens(text_col)
     d = (df.select(id_col, toks.alias("_toks"))
          .withColumn("dl", F.size("_toks")))
     stats = d.agg(F.count(F.lit(1)).alias("n_docs"),
@@ -81,8 +82,7 @@ def build_postings(df: DataFrame, id_col: str = "doc_id",
     terms (term, shard) before the collect; the df/tf columns here
     are exactly the statistics that pick those terms.
     """
-    toks = F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+    toks = ws_tokens(text_col)
     tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
             .groupBy("term", id_col)
             .agg(F.count(F.lit(1)).alias("tf")))

@@ -25,6 +25,8 @@ import re
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from vision_parse_spark.functions.text_stats import ws_tokens_sql
 from pyspark.sql.types import LongType, StructField, StructType
 
 # ---------------------------------------------------------------------------
@@ -431,15 +433,28 @@ def dup_clusters(
     )
     # Convergence check: labels are MONOTONE NON-INCREASING (least of
     # own and neighbor minima; the pointer jump substitutes a label
-    # whose own label is <= it), so the exact label sum strictly
-    # decreases until the fixed point — an unchanged sum IS
-    # convergence.  One single-row aggregate per round instead of a
-    # changed-count join against the previous labels.
+    # whose own label is <= it), so for NUMERIC ids the exact label
+    # sum strictly decreases until the fixed point — an unchanged sum
+    # IS convergence, one single-row aggregate per round instead of a
+    # changed-count join.  Non-numeric ids (string doc keys) have no
+    # sum: casting them would yield NULL and declare convergence
+    # after round 1 regardless of state, so they keep the join-based
+    # changed count.
+    from pyspark.sql.types import NumericType
+
+    summable = isinstance(
+        next(f.dataType for f in labels.schema.fields
+             if f.name == "cluster_id"), NumericType)
+
     def _label_sum(frame: DataFrame):
         return frame.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = _label_sum(labels)
+    def _changed_count(new: DataFrame, old: DataFrame) -> int:
+        return (new.alias("n").join(old.alias("o"), "doc_id")
+                .filter("n.cluster_id != o.cluster_id").count())
+
+    prev_sum = _label_sum(labels) if summable else None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
@@ -465,11 +480,15 @@ def dup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = _label_sum(new_labels)
+        if summable:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = _changed_count(new_labels, labels) == 0
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             return labels
-        prev_sum = new_sum
     # exhausting max_iter without a fixed point means cluster_id may
     # not be the component minimum — silently returning would let
     # downstream representative-picking split one duplicate cluster
@@ -630,10 +649,7 @@ def simhash64_portable_cols(df: DataFrame, text_col: str = "text",
     ``simhash64`` (pandas hashing, single shuffle-free UDF) is the
     throughput path; THIS construction is replayable in DuckDB and
     hash-checked by the driver."""
-    toks = (
-        "filter(split(lower(trim({t})), '\\\\s+'), x -> x != '')"
-        .format(t=text_col)
-    )
+    toks = ws_tokens_sql(text_col)
     h_lo = (f"transform({toks}, s -> cast(conv(substring(md5(s), 1, 15),"
             f" 16, 10) as bigint) % {_PRIME})")
     h_hi = (f"transform({toks}, s -> cast(conv(substring(md5(s), 17, 15),"

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vision_parse_spark.functions.text_stats import ws_tokens
+
 
 def repetition_stats(
     df: DataFrame,
@@ -37,10 +39,7 @@ def repetition_stats(
     base = df.select(
         id_col,
         lines.alias("_lines"),
-        F.expr(
-            f"filter(split(lower(trim({text_col})), '\\\\s+'),"
-            f" x -> x != '')"
-        ).alias("_toks"),
+        ws_tokens(text_col).alias("_toks"),
     )
     with_lines = base.select(
         id_col,

@@ -34,12 +34,9 @@ input byte stream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-
-def _tokens(text_col: str) -> Column:
-    return F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')")
+from vision_parse_spark.functions.text_stats import ws_tokens as _tokens
 
 
 def remove_frequent_spans(df: DataFrame, n: int = 3, max_df: int = 3,
@@ -100,6 +97,8 @@ def frequent_spans(df: DataFrame, n: int = 3, max_df: int = 3,
     ``n``-gram appearing in more than ``max_df`` distinct documents.
     Same doc-frequency relation ``remove_frequent_spans`` prunes
     with, exposed for threshold tuning and corpus audits."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     toks = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
     grams = F.expr(
         f"transform(sequence(0, size(_toks) - {n}), "
