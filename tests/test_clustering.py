@@ -126,3 +126,59 @@ def test_real_table_shapes(spark):
     assert cl[0] == 0 and cl[1] <= 7 and cl[2] >= 2
     surv = semdedup(df, k=8, iters=2, threshold=0.3)
     assert 0 < surv.count() < df.count()
+
+
+def test_fuzz_kmeans_matches_numpy_model(spark):
+    """Seeded random vector sets: the Spark assignment must equal a
+    direct numpy Lloyd re-implementation (same init, same float64
+    math, same first-min tie-break, empty-cell carry)."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    for trial, (k, iters) in enumerate([(4, 3), (2, 1), (6, 2)]):
+        X = rng.normal(size=(60, 8)).astype(np.float32)
+        rows = [(i, list(map(float, X[i]))) for i in range(60)]
+        got = {r.vec_id: r.cluster for r in
+               kmeans_assign(_vecs(spark, rows), k=k,
+                             iters=iters).collect()}
+
+        M = X.astype(np.float64)
+        cents = M[:k].copy()
+        for _ in range(iters):
+            d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            asg = d2.argmin(axis=1)
+            for c in range(k):
+                if (asg == c).any():
+                    cents[c] = M[asg == c].sum(axis=0) / (asg == c).sum()
+        d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        want = dict(enumerate(d2.argmin(axis=1)))
+        assert got == want, f"trial {trial}"
+
+
+def test_fuzz_semdedup_witness_invariant(spark):
+    """For every dropped id there is a lower-id same-cluster witness
+    with cosine >= threshold; for every survivor there is none."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    base = rng.normal(size=(10, 6))
+    # plant near-dups: each vector is a noisy copy of one of 10 bases
+    X = np.array([base[i % 10] + rng.normal(scale=0.02, size=6)
+                  for i in range(50)])
+    rows = [(i, list(map(float, X[i]))) for i in range(50)]
+    k, iters, tau = 3, 2, 0.98
+    surv = {r.vec_id for r in
+            semdedup(_vecs(spark, rows), k=k, iters=iters,
+                     threshold=tau).collect()}
+    asg = {r.vec_id: r.cluster for r in
+           kmeans_assign(_vecs(spark, rows), k=k, iters=iters).collect()}
+
+    Xd = np.array([np.asarray(v, dtype=np.float64) for _, v in rows])
+    nm = np.linalg.norm(Xd, axis=1)
+    def witness(j):
+        return any(asg[i] == asg[j]
+                   and Xd[i] @ Xd[j] / (nm[i] * nm[j]) >= tau
+                   for i in range(j))
+    for j in range(50):
+        assert (j not in surv) == witness(j), f"id {j}"
+    assert 0 in surv and len(surv) < 50

@@ -105,3 +105,38 @@ def test_row_count_preserved_on_real_table(spark, sf_dir="/root/testdata/sf0.001
                       | (F.length("clean_text") > F.col("n_chars") + 1))
               .count())
     assert bad == 0
+
+
+def test_fuzz_matches_python_model(spark):
+    """Seeded random corpora: the Spark result must equal a direct
+    python re-implementation of the span semantics (doc-freq census,
+    cover union, cut)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        n, max_df = [(2, 1), (3, 2), (3, 1), (4, 3)][trial]
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(0, 25)))
+                 for _ in range(30)]
+        got = {r.doc_id: (r.clean_text, r.n_removed) for r in
+               remove_frequent_spans(_docs(spark, texts), n=n,
+                                     max_df=max_df).collect()}
+
+        toks = [t.split() if t else [] for t in texts]
+        from collections import defaultdict
+        docs_of = defaultdict(set)
+        for d, ts in enumerate(toks):
+            for i in range(len(ts) - n + 1):
+                docs_of[tuple(ts[i:i + n])].add(d)
+        frequent = {g for g, ds in docs_of.items() if len(ds) > max_df}
+        want = {}
+        for d, ts in enumerate(toks):
+            cov = set()
+            for i in range(len(ts) - n + 1):
+                if tuple(ts[i:i + n]) in frequent:
+                    cov.update(range(i, i + n))
+            kept = [t for p, t in enumerate(ts) if p not in cov]
+            want[d] = (" ".join(kept), len(ts) - len(kept))
+        assert got == want, f"trial {trial}"
