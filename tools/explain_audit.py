@@ -182,6 +182,64 @@ def main():
         grab(tg),
     ))
 
+    from vision_parse_spark.operators.spans import remove_frequent_spans
+
+    sp = remove_frequent_spans(docs, n=3, max_df=3)
+    sections.append((
+        "Frequent-span removal (span_dedup)",
+        "round 5, Lee et al. 2022 boilerplate cut.  The plan realises "
+        "the 'heavy path proportional to boilerplate hits' design: "
+        "the only full-corpus shuffle is the two-stage distinct "
+        "aggregate computing gram doc-frequency; the frequent-gram "
+        "set then BROADCASTS back onto the span stream, the per-doc "
+        "cover list re-aggregates only the matching rows, and the "
+        "cover side broadcasts into the final LeftOuter so documents "
+        "without boilerplate never shuffle at all.  The cut is a "
+        "codegen'd higher-order filter — zero Python.  Asserted in "
+        "CI (test_plan_shapes: no Python, no SortMergeJoin, <= 6 "
+        "shuffle exchanges).",
+        grab(sp),
+    ))
+
+    from vision_parse_spark.operators.clustering import semdedup
+
+    sd = semdedup(emb, k=8, iters=1, threshold=0.3)
+    sections.append((
+        "SemDeDup (KMeans cells + within-cell cosine prune)",
+        "round 5, Abbas et al. 2023.  KMeans is Lloyd's with driver "
+        "control-plane centroids; each iteration is ONE fused Arrow "
+        "pass (tiled squared-distance argmin + per-batch partial "
+        "centroid sums, <= k*(dim+1) rows leave each batch; the "
+        "dim-wide Catalyst aggregate alternative paid a per-iteration "
+        "codegen compile that dominated the scan — kmeans_assign "
+        "8.7 -> 1.3 s after the fusion).  Candidate pairs are "
+        "confined to cells by an equi-join on the cluster id (CI: no "
+        "CartesianProduct); per-row norms are projected once BEFORE "
+        "the join; the greedy lowest-id survivor rule is a single "
+        "LeftAnti join — no iterative CC.  The within-cell pass is "
+        "O(sum cell^2) by design: scale k with N to bound cells "
+        "(measured in BASELINE.md: k=8 33 s -> k=64 8.2 s at 8x "
+        "data).  The plan below reads the checkpointed assignment "
+        "(ExistingRDD) — the Lloyd iterations ran inside it.",
+        grab(sd),
+    ))
+
+    from vision_parse_spark.operators.corpus_stats import build_postings
+
+    po = build_postings(docs, min_df=2)
+    sections.append((
+        "Inverted postings + mixture resampling",
+        "round 5.  postings (below): explode -> map-side-combined "
+        "(term, doc) count -> ONE term shuffle for the sorted "
+        "posting collect; min_df prunes after the combine.  "
+        "resample_mixture has no plan worth dumping: a per-stratum "
+        "count collected to the driver (control-plane, rows = "
+        "|strata|) and then the same narrow md5-bucket filter as "
+        "hash_sample — zero shuffle, zero UDF on the data path "
+        "(partition-invariance pytest'd).",
+        grab(po),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")
