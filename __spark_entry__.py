@@ -249,6 +249,28 @@ def _q_quality_score(spark, sf_dir):
     return d.filter(n_tok > 0).select("doc_id", score.alias("quality_e4"))
 
 
+def _q_top_quality(spark, sf_dir):
+    """Per-source best-quality selection (curation: keep the top-5
+    quality docs per domain).  One shuffle on the group key +
+    windowed rank; quality is the integer-e4 score from
+    quality_score so the ordering replays exactly (doc_id
+    tie-break)."""
+    from vision_parse_spark.operators.aggregate import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower("text"),
+        F.lit(r"\b(?:the|a|an|and|or|of|to|in|is|it)\b"), 0))
+    len_ok = F.least(F.length("text") / 200.0, F.lit(1.0))
+    stop_ok = F.least(n_stop / n_tok / 0.2, F.lit(1.0))
+    score = F.floor((len_ok * 0.5 + stop_ok * 0.5) * 10000).cast("long")
+    scored = (d.filter(n_tok > 0)
+               .select("doc_id", "source", score.alias("quality_e4")))
+    return top_k_per_group(scored, "source", "quality_e4", k=5,
+                           tiebreak_col="doc_id")
+
+
 def _q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     def cnt(pat):
@@ -782,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
+        "top_quality": _q_top_quality,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "top_ngrams": _q_top_ngrams,
@@ -1191,6 +1214,28 @@ def oracle_sql() -> dict[str, str]:
                          + least(n_stop * 1.0 / n_tok / 0.2, 1.0) * 0.5)
                          * 10000) AS BIGINT) AS quality_e4
             FROM s WHERE n_tok > 0
+        """,
+        "top_quality": r"""
+            WITH s AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
+                     length(text) AS n_chars
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     CAST(floor((least(n_chars / 200.0, 1.0) * 0.5
+                           + least(n_stop * 1.0 / n_tok / 0.2, 1.0) * 0.5)
+                           * 10000) AS BIGINT) AS quality_e4
+              FROM s WHERE n_tok > 0),
+            r AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY quality_e4 DESC, doc_id ASC) AS INT)
+                        AS rank
+              FROM q)
+            SELECT doc_id, source, quality_e4, rank
+            FROM r WHERE rank <= 5
         """,
         "lang_id": r"""
             WITH c AS (

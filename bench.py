@@ -148,6 +148,7 @@ def main():
     from vision_parse_spark.session import get_spark
     import __spark_entry__ as em
 
+    load_start = os.getloadavg()[0]
     spark = get_spark(
         "vps-bench", cores=CPUS,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -240,6 +241,12 @@ def main():
         # sink) — one code path batch+stream, quantified
         "extract_stream_drain_sec": round(stream_sec, 3),
         "cpus": CPUS,
+        # box-noise provenance: this host carries BURSTY neighbor
+        # load (observed 1-min loadavg 0.3 -> 14 within minutes);
+        # start/end 1-min loadavg lets a reader separate engine
+        # regressions from contaminated runs
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }))
 
 

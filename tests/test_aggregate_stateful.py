@@ -153,3 +153,31 @@ def test_event_time_assembly_is_replay_deterministic(spark, tmp_path):
     # emissions are a pure function of the data: replay == original
     got2 = run("r2")
     assert got1 == got2
+
+
+def test_top_k_per_group_rank_and_ties(spark):
+    from vision_parse_spark.operators.aggregate import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 90), ("a", 2, 95), ("a", 3, 95), ("a", 4, 10),
+         ("b", 5, 50)],
+        ["grp", "id", "score"])
+    out = {(r.grp, r.id): r.rank for r in
+           top_k_per_group(df, "grp", "score", k=2,
+                           tiebreak_col="id").collect()}
+    # 95-tie breaks on lower id; 90 pushed to rank 3 and cut
+    assert out == {("a", 2): 1, ("a", 3): 2, ("b", 5): 1}
+
+
+def test_top_k_per_group_ascending_and_validation(spark):
+    import pytest
+
+    from vision_parse_spark.operators.aggregate import top_k_per_group
+
+    df = spark.createDataFrame([("a", 1, 9), ("a", 2, 1)],
+                               ["grp", "id", "score"])
+    rows = top_k_per_group(df, "grp", "score", k=1, tiebreak_col="id",
+                           descending=False).collect()
+    assert [(r.id, r.rank) for r in rows] == [(2, 1)]
+    with pytest.raises(ValueError):
+        top_k_per_group(df, "grp", "score", k=0)
