@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # plane + within-cell cosine prune)
     "span_dedup",
     "semdedup",
+    # round 5: per-group windowed selection
+    "top_quality",
 ]
 
 
