@@ -317,6 +317,16 @@ def _q_span_dedup(spark, sf_dir):
                                  n=3, max_df=3)
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Corpus-relative unigram log-likelihood per doc (the cheap LM
+    quality signal): one token explode feeds model + scorer, counts
+    and (N, V) broadcast back, per-doc mean rounded to 4 decimals
+    (ln differs cross-engine only in the last ulp)."""
+    from vision_parse_spark.operators.corpus_stats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _q_postings(spark, sf_dir):
     """Inverted-index build: (term, df, ctf, sorted doc_id:tf
     posting string).  One term shuffle after a map-side-combined
@@ -810,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "span_dedup": _q_span_dedup,
         "postings": _q_postings,
+        "unigram_logprob": _q_unigram_logprob,
         "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
@@ -1327,6 +1338,24 @@ def oracle_sql() -> dict[str, str]:
                      AS clean_text,
                    lt - len(kept) AS n_removed
             FROM cut
+        """,
+        "unigram_logprob": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents),
+            terms AS (SELECT doc_id, unnest(t) AS term FROM d),
+            counts AS (SELECT term, count(*) AS c
+                       FROM terms GROUP BY term),
+            stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                             count(*) AS v
+                      FROM counts)
+            SELECT doc_id, count(*) AS n_tok,
+                   round(avg(ln((c + 1.0) / (n_total + 1.0 * v))), 4)
+                       AS avg_logprob
+            FROM terms JOIN counts USING (term) CROSS JOIN stats
+            GROUP BY doc_id
         """,
         "postings": r"""
             WITH d AS (

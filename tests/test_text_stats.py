@@ -169,3 +169,52 @@ def test_build_postings_matches_python_reference(spark):
             post = ",".join(f"{d}:{n}" for d, n in sorted(c.items()))
             want[term] = (len(c), sum(c.values()), post)
     assert got == want
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """Self-trained add-1 unigram log-likelihood equals a direct
+    python computation on real test data (counts, smoothing, mean)."""
+    import math
+    import re
+    from collections import Counter
+
+    from vision_parse_spark.operators.corpus_stats import unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: (r.n_tok, r.avg_logprob)
+           for r in unigram_logprob(docs).collect()}
+
+    toks = {}
+    counts = Counter()
+    for doc_id, text in docs.select("doc_id", "text").collect():
+        ts = [t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                  (text or "").strip().lower()) if t]
+        toks[doc_id] = ts
+        counts.update(ts)
+    n_total, v = sum(counts.values()), len(counts)
+    want = {}
+    for doc_id, ts in toks.items():
+        if ts:
+            lp = sum(math.log((counts[t] + 1.0) / (n_total + 1.0 * v))
+                     for t in ts) / len(ts)
+            want[doc_id] = (len(ts), round(lp, 4))
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-4
+
+
+def test_unigram_logprob_orders_gibberish_below_common(spark):
+    """A doc of corpus-frequent words must outscore a doc of hapax
+    gibberish; empty docs are absent from the output."""
+    import pandas as pd
+
+    from vision_parse_spark.operators.corpus_stats import unigram_logprob
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the the the the cat", "zxqv wvnm qqpz hjkl", ""],
+    }))
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0] > out[1]

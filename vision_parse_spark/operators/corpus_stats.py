@@ -100,6 +100,42 @@ def build_postings(df: DataFrame, id_col: str = "doc_id",
               .filter(F.col("doc_freq") >= min_df))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    alpha: float = 1.0) -> DataFrame:
+    """Corpus-relative unigram log-likelihood per document — the
+    cheap LM quality signal (CCNet scores against an external LM; the
+    self-trained unigram variant needs no model artifact and flags
+    the same outliers: gibberish scores low, stuffed/repetitive text
+    scores suspiciously high).
+
+    ``avg_logprob = mean_w ln((c_w + alpha) / (N + alpha * V))``
+    with add-``alpha`` smoothing over the corpus's own counts
+    (``c_w`` corpus count, ``N`` total tokens, ``V`` vocab size).
+
+    Scale shape (100 TB): ONE token explode feeds both the model and
+    the scorer — term counts are a map-side-combined hash agg (the
+    only full shuffle); the count relation and the 1-row (N, V)
+    stats broadcast back onto the same exploded stream; the per-doc
+    mean is a second agg on the doc key.  A web-scale vocab is
+    millions of rows — still broadcast-sized; shard the join if not.
+    Scores round to 4 decimals (the bm25 precedent: ln differs
+    cross-engine only in the last ulp, invisible at 4 decimals).
+    """
+    toks = ws_tokens(text_col)
+    terms = (df.select(F.col(id_col), F.explode(toks).alias("term")))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(F.sum("c").alias("n_total"),
+                       F.count(F.lit(1)).alias("v"))
+    logp = F.log((F.col("c") + F.lit(alpha))
+                 / (F.col("n_total") + F.lit(alpha) * F.col("v")))
+    return (terms.join(F.broadcast(counts), "term")
+                 .crossJoin(F.broadcast(stats))
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_tok"),
+                      F.round(F.avg(logp), 4).alias("avg_logprob")))
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                k: int = 50) -> DataFrame:
     """Top-``k`` word ``n``-grams by corpus frequency (every
