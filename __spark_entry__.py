@@ -234,8 +234,11 @@ def _q_token_count(spark, sf_dir):
     )
 
 
-def _q_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+def _quality_scored(d):
+    """(doc_id, source, quality_e4) — the ONE quality formula shared
+    by _q_quality_score and _q_top_quality (and, in SQL form, by
+    _QUALITY_SQL_CTES): a drift in one place would silently
+    desynchronize the score from the ranking that claims to use it."""
     n_tok = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
     n_stop = F.size(F.regexp_extract_all(
         F.lower("text"),
@@ -246,7 +249,13 @@ def _q_quality_score(spark, sf_dir):
     # (same expression order) -> identical floor; round() differs at
     # half-way points (Spark decimal HALF_UP vs DuckDB double round)
     score = F.floor((len_ok * 0.5 + stop_ok * 0.5) * 10000).cast("long")
-    return d.filter(n_tok > 0).select("doc_id", score.alias("quality_e4"))
+    return d.filter(n_tok > 0).select(
+        "doc_id", "source", score.alias("quality_e4"))
+
+
+def _q_quality_score(spark, sf_dir):
+    return _quality_scored(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "quality_e4")
 
 
 def _q_top_quality(spark, sf_dir):
@@ -257,16 +266,7 @@ def _q_top_quality(spark, sf_dir):
     tie-break)."""
     from vision_parse_spark.operators.aggregate import top_k_per_group
 
-    d = _t(spark, sf_dir, "documents")
-    n_tok = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
-    n_stop = F.size(F.regexp_extract_all(
-        F.lower("text"),
-        F.lit(r"\b(?:the|a|an|and|or|of|to|in|is|it)\b"), 0))
-    len_ok = F.least(F.length("text") / 200.0, F.lit(1.0))
-    stop_ok = F.least(n_stop / n_tok / 0.2, F.lit(1.0))
-    score = F.floor((len_ok * 0.5 + stop_ok * 0.5) * 10000).cast("long")
-    scored = (d.filter(n_tok > 0)
-               .select("doc_id", "source", score.alias("quality_e4")))
+    scored = _quality_scored(_t(spark, sf_dir, "documents"))
     return top_k_per_group(scored, "source", "quality_e4", k=5,
                            tiebreak_col="doc_id")
 
@@ -874,6 +874,26 @@ def _scrub_sql(src: str = "documents") -> str:
     return f"SELECT doc_id, md5({expr}) AS scrubbed_md5 FROM {src}"
 
 
+# SQL twin of _quality_scored — produces CTE `q`(doc_id, source,
+# quality_e4); shared by the quality_score and top_quality oracles so
+# the formula cannot drift between them.
+_QUALITY_SQL_CTES = r"""
+    s AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+             len(regexp_extract_all(lower(text),
+                 '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
+             length(text) AS n_chars
+      FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             CAST(floor((least(n_chars / 200.0, 1.0) * 0.5
+                   + least(n_stop * 1.0 / n_tok / 0.2, 1.0) * 0.5)
+                   * 10000) AS BIGINT) AS quality_e4
+      FROM s WHERE n_tok > 0)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Flagship value oracle: committed golden parquet of per-distinct-
     # text extraction results (markdown is a pure function of the text
@@ -1212,34 +1232,12 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
             FROM documents
         """,
-        "quality_score": r"""
-            WITH s AS (
-              SELECT doc_id,
-                     len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
-                     len(regexp_extract_all(lower(text),
-                         '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
-                     length(text) AS n_chars
-              FROM documents)
-            SELECT doc_id,
-                   CAST(floor((least(n_chars / 200.0, 1.0) * 0.5
-                         + least(n_stop * 1.0 / n_tok / 0.2, 1.0) * 0.5)
-                         * 10000) AS BIGINT) AS quality_e4
-            FROM s WHERE n_tok > 0
+        "quality_score": f"""
+            WITH {_QUALITY_SQL_CTES}
+            SELECT doc_id, quality_e4 FROM q
         """,
-        "top_quality": r"""
-            WITH s AS (
-              SELECT doc_id, source,
-                     len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
-                     len(regexp_extract_all(lower(text),
-                         '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
-                     length(text) AS n_chars
-              FROM documents),
-            q AS (
-              SELECT doc_id, source,
-                     CAST(floor((least(n_chars / 200.0, 1.0) * 0.5
-                           + least(n_stop * 1.0 / n_tok / 0.2, 1.0) * 0.5)
-                           * 10000) AS BIGINT) AS quality_e4
-              FROM s WHERE n_tok > 0),
+        "top_quality": f"""
+            WITH {_QUALITY_SQL_CTES},
             r AS (
               SELECT *, CAST(row_number() OVER (PARTITION BY source
                         ORDER BY quality_e4 DESC, doc_id ASC) AS INT)

@@ -180,4 +180,13 @@ def test_top_k_per_group_ascending_and_validation(spark):
                            descending=False).collect()
     assert [(r.id, r.rank) for r in rows] == [(2, 1)]
     with pytest.raises(ValueError):
-        top_k_per_group(df, "grp", "score", k=0)
+        top_k_per_group(df, "grp", "score", k=0, tiebreak_col="id")
+    # pre-existing rank column must not be silently clobbered
+    with pytest.raises(ValueError):
+        top_k_per_group(df.withColumn("rank", F.lit(1)),
+                        "grp", "score", k=1, tiebreak_col="id")
+    # ...unless routed to another name
+    out = top_k_per_group(df.withColumn("rank", F.lit(7)),
+                          "grp", "score", k=1, tiebreak_col="id",
+                          rank_col="sel_rank").collect()
+    assert out[0].rank == 7 and out[0].sel_rank == 1

@@ -90,8 +90,9 @@ def top_k_per_group(
     group_col: str,
     order_col: str,
     k: int,
-    tiebreak_col: str | None = None,
+    tiebreak_col: str,
     descending: bool = True,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Keep the top-``k`` rows of every group by ``order_col`` — the
     per-source best-quality selection step of a curation pipeline
@@ -102,17 +103,24 @@ def top_k_per_group(
     sorted runs, so a hot group degrades to disk-sorted, never OOM;
     with ``k`` small relative to group size the dominant cost is the
     sort, the same as any global-ranking semantics requires.  The
-    rank column is emitted (``rank``) so downstream sampling can
-    stratify on it.  Ties break on ``tiebreak_col`` (default: the
-    group-local natural order is made deterministic by requiring a
-    tiebreak column whenever duplicates in ``order_col`` matter).
+    rank is emitted (``rank_col``) so downstream sampling can
+    stratify on it.
+
+    ``tiebreak_col`` is REQUIRED (always ascending): row_number over
+    a tied ``order_col`` without one picks a partition-order-
+    dependent survivor set — irreproducible output, which every
+    operator in this engine forbids.  Integer quality scores tie
+    heavily, so this is the common case, not the corner.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if rank_col in df.columns:
+        raise ValueError(
+            f"input already has a {rank_col!r} column; pass rank_col= "
+            f"to avoid silently clobbering it")
     order = [F.col(order_col).desc() if descending
-             else F.col(order_col).asc()]
-    if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).asc())
+             else F.col(order_col).asc(),
+             F.col(tiebreak_col).asc()]
     w = Window.partitionBy(group_col).orderBy(*order)
-    return (df.withColumn("rank", F.row_number().over(w))
-              .filter(F.col("rank") <= k))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= k))

@@ -113,24 +113,31 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     with add-``alpha`` smoothing over the corpus's own counts
     (``c_w`` corpus count, ``N`` total tokens, ``V`` vocab size).
 
-    Scale shape (100 TB): ONE token explode feeds both the model and
-    the scorer — term counts are a map-side-combined hash agg (the
-    only full shuffle); the count relation and the 1-row (N, V)
-    stats broadcast back onto the same exploded stream; the per-doc
-    mean is a second agg on the doc key.  A web-scale vocab is
-    millions of rows — still broadcast-sized; shard the join if not.
-    Scores round to 4 decimals (the bm25 precedent: ln differs
-    cross-engine only in the last ulp, invisible at 4 decimals).
+    Scale shape (100 TB): the natural two-pass LM shape — a TRAIN
+    pass (explode -> map-side-combined term counts, the only full
+    shuffle, checkpointed so the relation is computed once) and a
+    SCORE pass (the second corpus scan re-explodes and joins the
+    broadcast counts; the 1-row (N, V) stats are collected off the
+    checkpointed counts and folded into the expression as driver
+    literals, so no stats branch re-runs the shuffle).  A web-scale
+    vocab is millions of rows — still broadcast-sized; shard the
+    join if not.
+
+    Scores round to 4 decimals.  Determinism analysis: each doc's
+    tokens live in one input row, so its partial sum comes from one
+    map partition — no partition-merge-order float drift run to
+    run.  Cross-engine, ln can differ in the last ulp; that flips
+    the 4th decimal only within ~1e-12 of a .00005 boundary
+    (~1e-11 per doc — the bm25 precedent ships the same analysis).
     """
     toks = ws_tokens(text_col)
     terms = (df.select(F.col(id_col), F.explode(toks).alias("term")))
-    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    stats = counts.agg(F.sum("c").alias("n_total"),
-                       F.count(F.lit(1)).alias("v"))
+    counts = (terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+                   .localCheckpoint(eager=True))
+    n_total, v = counts.agg(F.sum("c"), F.count(F.lit(1))).first()
     logp = F.log((F.col("c") + F.lit(alpha))
-                 / (F.col("n_total") + F.lit(alpha) * F.col("v")))
+                 / (F.lit(float(n_total)) + F.lit(alpha) * F.lit(float(v))))
     return (terms.join(F.broadcast(counts), "term")
-                 .crossJoin(F.broadcast(stats))
                  .groupBy(id_col)
                  .agg(F.count(F.lit(1)).alias("n_tok"),
                       F.round(F.avg(logp), 4).alias("avg_logprob")))
