@@ -69,8 +69,9 @@ BENCH_QUERIES = [
     # plane + within-cell cosine prune)
     "span_dedup",
     "semdedup",
-    # round 5: per-group windowed selection
+    # round 5: per-group windowed selection + unigram-LM scoring
     "top_quality",
+    "unigram_logprob",
 ]
 
 
