@@ -714,6 +714,25 @@ def _q_doc_assembly(spark, sf_dir):
     )
 
 
+def _q_asof_attribution(spark, sf_dir):
+    """As-of join (attribution): every purchase matched to the
+    latest same-user click at or before it.  Union + window idiom —
+    one shuffle, O(n log n) per key, no range-join pair explosion;
+    (ts, side, id) window order makes duplicate-timestamp matches
+    deterministic."""
+    from vision_parse_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("event_id", "ts", "user_id", "value"))
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select("event_id", "ts", "user_id", "value"))
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts",
+                    id_col="event_id", right_value_cols=["value"])
+    return out.select("event_id", "user_id", "value",
+                      "asof_event_id", "asof_value", "asof_lag_us")
+
+
 def _q_event_quantiles(spark, sf_dir):
     # exact distinct + exact percentiles per group (the large-scale
     # profiling aggregates; approx variants exist but are engine-
@@ -848,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup": _q_semdedup,
+        "asof_attribution": _q_asof_attribution,
         "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1750,6 +1770,38 @@ def oracle_sql() -> dict[str, str]:
                                (acc, c) -> (acc * 31 + c) % 2147483647)
                    END AS fingerprint
             FROM n
+        """,
+        "asof_attribution": """
+            WITH c AS (
+              SELECT user_id, ts, 0 AS side, event_id AS oid,
+                     event_id AS rid, epoch_us(ts) AS rts,
+                     value AS rvalue,
+                     NULL::BIGINT AS l_event_id,
+                     NULL::DOUBLE AS l_value
+              FROM events WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, 1 AS side, event_id AS oid,
+                     NULL::BIGINT AS rid, NULL::BIGINT AS rts,
+                     NULL::DOUBLE AS rvalue,
+                     event_id AS l_event_id, value AS l_value
+              FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+            m AS (
+              SELECT *,
+                     last_value(rid IGNORE NULLS) OVER w AS m_rid,
+                     last_value(rts IGNORE NULLS) OVER w AS m_rts,
+                     last_value(rvalue IGNORE NULLS) OVER w AS m_rvalue
+              FROM u
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, side, oid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT l_event_id AS event_id, user_id,
+                   l_value AS value,
+                   m_rid AS asof_event_id,
+                   m_rvalue AS asof_value,
+                   epoch_us(ts) - m_rts AS asof_lag_us
+            FROM m WHERE side = 1
         """,
         "event_quantiles": """
             SELECT event_type,

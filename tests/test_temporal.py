@@ -1,0 +1,89 @@
+"""As-of join (operators/temporal.py): union+window construction.
+Hand-built event sets pin the match semantics (latest-at-or-before,
+exact-ts matches, tolerance, duplicate-ts determinism); the entry
+contract + DuckDB oracle replay the full attribution query."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from vision_parse_spark.operators.temporal import asof_join
+
+
+def _ev(spark, rows):
+    # rows: (event_id, second, user, value)
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, 0, s), u, float(v))
+         for i, s, u, v in rows],
+        "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_latest_prior_match_per_key(spark):
+    clicks = _ev(spark, [(0, 10, 1, 1.0), (1, 20, 1, 2.0),
+                         (2, 15, 2, 9.0)])
+    buys = _ev(spark, [(10, 25, 1, 5.0), (11, 12, 1, 6.0),
+                       (12, 30, 2, 7.0)])
+    out = {r.event_id: r for r in
+           asof_join(buys, clicks, "user_id", "ts", "event_id",
+                     ["value"]).collect()}
+    assert out[10].asof_event_id == 1 and out[10].asof_value == 2.0
+    assert out[10].asof_lag_us == 5_000_000
+    assert out[11].asof_event_id == 0          # only click 0 precedes
+    assert out[12].asof_event_id == 2          # per-key isolation
+
+
+def test_exact_timestamp_matches_and_unmatched_nulls(spark):
+    clicks = _ev(spark, [(0, 10, 1, 1.0)])
+    buys = _ev(spark, [(10, 10, 1, 5.0), (11, 5, 1, 6.0)])
+    out = {r.event_id: r for r in
+           asof_join(buys, clicks, "user_id", "ts", "event_id",
+                     ["value"]).collect()}
+    assert out[10].asof_event_id == 0 and out[10].asof_lag_us == 0
+    assert out[11].asof_event_id is None       # nothing at or before
+    assert out[11].asof_lag_us is None
+
+
+def test_duplicate_right_ts_is_deterministic(spark):
+    # two clicks at the SAME instant: the higher event_id wins (the
+    # documented (ts, side, id) order), on any partitioning
+    clicks = _ev(spark, [(0, 10, 1, 1.0), (1, 10, 1, 2.0)])
+    buys = _ev(spark, [(10, 20, 1, 5.0)])
+    for parts in (1, 7):
+        out = asof_join(buys.repartition(parts),
+                        clicks.repartition(parts),
+                        "user_id", "ts", "event_id", ["value"]).collect()
+        assert out[0].asof_event_id == 1
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    clicks = _ev(spark, [(0, 0, 1, 1.0)])
+    buys = _ev(spark, [(10, 50, 1, 5.0)])
+    ok = asof_join(buys, clicks, "user_id", "ts", "event_id", ["value"],
+                   tolerance_us=60_000_000).collect()[0]
+    assert ok.asof_event_id == 0
+    stale = asof_join(buys, clicks, "user_id", "ts", "event_id",
+                      ["value"], tolerance_us=10_000_000).collect()[0]
+    assert stale.asof_event_id is None and stale.asof_lag_us is None
+
+
+def test_matches_pandas_merge_asof_on_real_events(spark):
+    import pandas as pd
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    buys = e.filter("event_type = 'purchase'") \
+        .select("event_id", "ts", "user_id", "value")
+    clicks = e.filter("event_type = 'click'") \
+        .select("event_id", "ts", "user_id", "value")
+    got = asof_join(buys, clicks, "user_id", "ts", "event_id",
+                    ["value"]).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    bp = buys.toPandas().sort_values(["ts", "event_id"])
+    cp = clicks.toPandas().sort_values(["ts", "event_id"])
+    want = pd.merge_asof(bp, cp, on="ts", by="user_id",
+                         suffixes=("", "_c"), direction="backward") \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (got["asof_event_id"].fillna(-1).to_numpy()
+            == want["event_id_c"].fillna(-1).to_numpy()).all()
+    assert (got["asof_value"].fillna(-1).to_numpy()
+            == want["value_c"].fillna(-1).to_numpy()).all()
