@@ -714,6 +714,19 @@ def _q_doc_assembly(spark, sf_dir):
     )
 
 
+def _q_corpus_rollup(spark, sf_dir):
+    """Hierarchical corpus profile: doc counts + char volume at
+    (lang, source), per-lang subtotal and grand-total levels in ONE
+    pass — Spark's native ROLLUP (partial aggregation re-used across
+    grouping sets, no per-level re-scan); grouping_id disambiguates
+    real NULL keys from subtotal rows."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.grouping_id().alias("gid")))
+
+
 def _q_asof_attribution(spark, sf_dir):
     """As-of join (attribution): every purchase matched to the
     latest same-user click at or before it.  Union + window idiom —
@@ -867,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup": _q_semdedup,
+        "corpus_rollup": _q_corpus_rollup,
         "asof_attribution": _q_asof_attribution,
         "event_quantiles": _q_event_quantiles,
         "conv_stats": _q_conv_stats,
@@ -1770,6 +1784,14 @@ def oracle_sql() -> dict[str, str]:
                                (acc, c) -> (acc * 31 + c) % 2147483647)
                    END AS fingerprint
             FROM n
+        """,
+        "corpus_rollup": """
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS gid
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
         """,
         "asof_attribution": """
             WITH c AS (

@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     # round 5: per-group windowed selection + unigram-LM scoring
     "top_quality",
     "unigram_logprob",
+    # round 5: temporal join (union+window) and rollup profile
+    "asof_attribution",
+    "corpus_rollup",
 ]
 
 
