@@ -83,7 +83,48 @@ def test_matches_pandas_merge_asof_on_real_events(spark):
     want = pd.merge_asof(bp, cp, on="ts", by="user_id",
                          suffixes=("", "_c"), direction="backward") \
         .sort_values("event_id").reset_index(drop=True)
-    assert (got["asof_event_id"].fillna(-1).to_numpy()
-            == want["event_id_c"].fillna(-1).to_numpy()).all()
-    assert (got["asof_value"].fillna(-1).to_numpy()
-            == want["value_c"].fillna(-1).to_numpy()).all()
+    assert (got["asof_event_id"].isna().to_numpy()
+            == want["event_id_c"].isna().to_numpy()).all()
+    m = ~got["asof_event_id"].isna().to_numpy()
+    assert (got["asof_event_id"].to_numpy()[m]
+            == want["event_id_c"].to_numpy()[m]).all()
+    assert (got["asof_value"].to_numpy()[m]
+            == want["value_c"].to_numpy()[m]).all()
+
+
+def test_null_ts_and_null_key_never_match(spark):
+    from datetime import datetime as dt
+
+    import pandas as pd
+
+    clicks = spark.createDataFrame(pd.DataFrame({
+        "event_id": [0, 1], "ts": [pd.NaT, pd.Timestamp("2024-01-01")],
+        "user_id": [1.0, None], "value": [1.0, 2.0]}),
+        "event_id long, ts timestamp, user_id long, value double")
+    buys = spark.createDataFrame(
+        [(10, dt(2024, 1, 2), 1, 5.0), (11, dt(2024, 1, 2), None, 6.0)],
+        "event_id long, ts timestamp, user_id long, value double")
+    out = {r.event_id: r for r in
+           asof_join(buys, clicks, "user_id", "ts", "event_id",
+                     ["value"]).collect()}
+    # click 0 has NULL ts, click 1 has NULL user: neither may match;
+    # buy 11 has NULL user: no match either
+    assert out[10].asof_event_id is None
+    assert out[11].asof_event_id is None
+
+
+def test_validation_rejects_bad_inputs(spark):
+    import pytest
+
+    ints = spark.createDataFrame([(0, 10, 1, 1.0)],
+                                 "event_id long, ts long, user_id long,"
+                                 " value double")
+    good = _ev(spark, [(0, 10, 1, 1.0)])
+    with pytest.raises(ValueError, match="timestamp"):
+        asof_join(ints, ints, "user_id", "ts", "event_id", ["value"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(good.withColumnRenamed("value", "asof_lag_us"),
+                  good, "user_id", "ts", "event_id", ["value"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(good, good, "user_id", "ts", "event_id",
+                  ["event_id"])

@@ -47,7 +47,31 @@ def asof_join(
     matches older than that many microseconds are nulled, as in
     ``pandas.merge_asof(tolerance=...)``.
     """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    for side_name, frame in (("left", left), ("right", right)):
+        t = frame.schema[ts_col].dataType
+        if not isinstance(t, (TimestampType, TimestampNTZType)):
+            raise ValueError(
+                f"asof_join: {side_name}.{ts_col} must be a timestamp, "
+                f"got {t.simpleString()} (an integer ts would order "
+                f"correctly but compute lags at the wrong unit)")
     lcols = left.columns
+    out_names = ([f"asof_{id_col}"]
+                 + [f"asof_{c}" for c in right_value_cols]
+                 + ["asof_lag_us"])
+    clash = sorted(set(out_names) & set(lcols))
+    if clash or id_col in right_value_cols:
+        raise ValueError(
+            f"asof_join: output columns {clash or [f'asof_{id_col}']} "
+            f"collide; rename the left columns (e.g. when chaining "
+            f"asof joins) or drop {id_col} from right_value_cols")
+    # NULL-ts / NULL-key right rows can never be "the latest prior
+    # event" (merge_asof semantics: NaN keys and NaT never match);
+    # dropping them here also guarantees NULL-ts/key LEFT rows get no
+    # match (they sort to the window start / a right-free partition)
+    right = right.filter(F.col(ts_col).isNotNull()
+                         & F.col(on).isNotNull())
     rpay = F.struct(
         F.col(id_col).alias("_rid"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_rts"),
