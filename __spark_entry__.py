@@ -1323,7 +1323,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_ngrams": r"""
             WITH toks AS (
-              SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+              SELECT list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
               FROM documents),
             g AS (
               SELECT unnest(list_transform(
@@ -1800,7 +1801,10 @@ def oracle_sql() -> dict[str, str]:
                      value AS rvalue,
                      NULL::BIGINT AS l_event_id,
                      NULL::DOUBLE AS l_value
-              FROM events WHERE event_type = 'click'),
+              -- ts IS NOT NULL mirrors the operator's right-side
+              -- filter (a NULL-ts click can never be "latest prior")
+              FROM events
+              WHERE event_type = 'click' AND ts IS NOT NULL),
             p AS (
               SELECT user_id, ts, 1 AS side, event_id AS oid,
                      NULL::BIGINT AS rid, NULL::BIGINT AS rts,
@@ -1814,8 +1818,12 @@ def oracle_sql() -> dict[str, str]:
                      last_value(rts IGNORE NULLS) OVER w AS m_rts,
                      last_value(rvalue IGNORE NULLS) OVER w AS m_rvalue
               FROM u
+              -- NULLS FIRST replays Spark's ASC default, so a
+              -- NULL-ts purchase sorts before every click and gets
+              -- NO match (DuckDB's NULLS LAST default would hand it
+              -- the globally latest click instead)
               WINDOW w AS (PARTITION BY user_id
-                           ORDER BY ts, side, oid
+                           ORDER BY ts NULLS FIRST, side, oid
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW))
             SELECT l_event_id AS event_id, user_id,

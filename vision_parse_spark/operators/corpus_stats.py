@@ -135,6 +135,13 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     counts = (terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
                    .localCheckpoint(eager=True))
     n_total, v = counts.agg(F.sum("c"), F.count(F.lit(1))).first()
+    if n_total is None:
+        # zero tokens in the whole corpus: sum over the empty counts
+        # relation is NULL — scoring against a zero-token LM is
+        # undefined, so fail loudly instead of float(None) crashing
+        raise ValueError(
+            "unigram_logprob: empty corpus (no tokens after the "
+            "ws_tokens normalization) — nothing to train the LM on")
     logp = F.log((F.col("c") + F.lit(alpha))
                  / (F.lit(float(n_total)) + F.lit(alpha) * F.lit(float(v))))
     return (terms.join(F.broadcast(counts), "term")
@@ -147,10 +154,13 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                k: int = 50) -> DataFrame:
     """Top-``k`` word ``n``-grams by corpus frequency (every
     occurrence counts — NOT distinct-per-doc), deterministic
-    tie-break on the gram itself.  Tokenization matches the shingle
-    recipe used across the dedup family (lower/trim/split ``\\s+``),
-    so the DuckDB oracle replays it exactly."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tie-break on the gram itself.  Tokenization is the shared
+    :func:`ws_tokens` recipe (lower/trim/split ``\\s+``/drop empty
+    tokens) used across the dedup family — previously this inlined
+    the split WITHOUT the empty filter, so an empty/whitespace-only
+    doc contributed ``''`` as a unigram at ``n=1`` (round-5 advice);
+    the DuckDB oracle replays the filtered recipe exactly."""
+    toks = ws_tokens(text_col)
     grams = F.expr(
         f"transform(sequence(0, size(_toks) - {n}), "
         f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"

@@ -436,15 +436,17 @@ def dup_clusters(
     # whose own label is <= it), so for NUMERIC ids the exact label
     # sum strictly decreases until the fixed point — an unchanged sum
     # IS convergence, one single-row aggregate per round instead of a
-    # changed-count join.  Non-numeric ids (string doc keys) have no
-    # sum: casting them would yield NULL and declare convergence
-    # after round 1 regardless of state, so they keep the join-based
-    # changed count.
-    from pyspark.sql.types import NumericType
+    # changed-count join.  Only INTEGRAL ids qualify: string ids cast
+    # to NULL (false convergence after round 1), and float/double/
+    # scaled-decimal ids can move by a fraction < 1 that the
+    # decimal(38,0) cast truncates away — the sum would look unchanged
+    # while labels still change (round-5 advice).  Everything
+    # non-integral keeps the join-based changed count.
+    from pyspark.sql.types import IntegralType
 
     summable = isinstance(
         next(f.dataType for f in labels.schema.fields
-             if f.name == "cluster_id"), NumericType)
+             if f.name == "cluster_id"), IntegralType)
 
     def _label_sum(frame: DataFrame):
         return frame.agg(
