@@ -128,6 +128,28 @@ def test_real_table_shapes(spark):
     assert 0 < surv.count() < df.count()
 
 
+def test_semdedup_arrow_matches_portable(spark):
+    # the production tiled-matmul verify and the cross-engine fold
+    # verify must pick the same survivor set on real data (they can
+    # only diverge for a pair within ~1 ulp of the threshold)
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for tau in (0.3, 0.7):
+        a = {r.vec_id for r in
+             semdedup(df, k=8, iters=2, threshold=tau,
+                      verify="arrow").collect()}
+        p = {r.vec_id for r in
+             semdedup(df, k=8, iters=2, threshold=tau,
+                      verify="portable").collect()}
+        assert a == p, f"tau={tau}: arrow^portable={a ^ p}"
+
+
+def test_semdedup_verify_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="verify"):
+        semdedup(None, verify="bogus")
+
+
 def test_fuzz_kmeans_matches_numpy_model(spark):
     """Seeded random vector sets: the Spark assignment must equal a
     direct numpy Lloyd re-implementation (same init, same float64

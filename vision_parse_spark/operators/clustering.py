@@ -172,7 +172,8 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
 def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
              threshold: float = 0.95, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             verify: str = "arrow") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by KMeans
     partitioning + within-cluster cosine pruning.  Returns the
     SURVIVOR set ``(id_col,)``: an embedding is dropped iff ANY
@@ -185,15 +186,56 @@ def semdedup(df: DataFrame, k: int = 8, iters: int = 2,
     near-dup pair graph and pick per-component representatives.
 
     Scale shape: candidate pairs are confined to KMeans cells (the
-    SemDeDup trick — never all-pairs); the within-cell self-join
-    shuffles on the cluster id; the greedy keep-lowest-id rule is a
-    single anti-join against the min-neighbor relation, no iterative
-    connected components needed (a kept doc is one with no
+    SemDeDup trick — never all-pairs); the greedy keep-lowest-id rule
+    is a single anti-join against the min-neighbor relation, no
+    iterative connected components needed (a kept doc is one with no
     smaller-id near-duplicate in its cell, the standard SemDeDup
     greedy order).
+
+    ``verify`` picks the within-cell exact-verify kernel:
+
+    * ``"arrow"`` (default, the production path): ONE shuffle on the
+      cluster id into ``applyInPandas`` running the same TILED
+      normalized-matmul kernel the embedding near-dup family uses
+      (``similarity._bucket_pairs_pdf`` — scratch capped at
+      ``_BUCKET_TILE_ELEMS`` doubles ≈ 32 MB even for a degenerate
+      cell).  The round-5 fold path paid an interpreted O(dim)
+      Catalyst lambda per candidate pair — ~10x the matmul constant.
+    * ``"portable"`` — the per-pair ``zip_with``/``aggregate`` fold
+      self-join, kept as the cross-engine reference (the DuckDB
+      oracle replays its float shape); pytest asserts set-equality
+      of the two survivor sets.  Like every cross-implementation
+      float compare, the paths can only diverge for a pair within
+      ~1 ulp of the threshold (the embedding_near_dups lesson).
     """
+    if verify not in ("arrow", "portable"):
+        raise ValueError(f"semdedup: verify must be 'arrow' or "
+                         f"'portable', got {verify!r}")
     centroids, data = kmeans_fit(df, k=k, iters=iters, id_col=id_col,
                                  vec_col=vec_col, dim=dim)
+    if verify == "arrow":
+        from vision_parse_spark.operators.similarity import _bucket_pairs_pdf
+
+        tagged = data.select(F.col(id_col), "_v",
+                             _assign_col("_v", centroids))
+        idt = df.schema[id_col].dataType.simpleString()
+
+        def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _bucket_pairs_pdf(pdf, id_col, "_v", threshold)
+
+        # dropped ids are tiny; eager-checkpoint them so the fit
+        # cache can be released before the final anti-join runs
+        dropped = (tagged.groupBy("cluster")
+                   .applyInPandas(
+                       pairs_in_cell,
+                       schema=f"id_a {idt}, id_b {idt}, cosine double")
+                   .select(F.col("id_b").alias(id_col))
+                   .distinct()
+                   .localCheckpoint(eager=True))
+        data.unpersist()
+        return (df.select(id_col)
+                  .join(dropped, id_col, "left_anti"))
+
     sq = F.aggregate(F.zip_with("_v", "_v", lambda x, y: x * y),
                      F.lit(0.0), lambda acc, x: acc + x)
     # one pass over the fit cache: final assignment + per-row norm
