@@ -113,6 +113,64 @@ def test_null_ts_and_null_key_never_match(spark):
     assert out[11].asof_event_id is None
 
 
+def test_skew_bucketed_equals_unchunked_on_real_events(spark):
+    # the chunked (hot-key-safe) window must return EXACTLY the
+    # unchunked result — exercised at bucket widths from "every row
+    # its own bucket" to "one bucket holds everything", with and
+    # without tolerance
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    buys = e.filter("event_type = 'purchase'") \
+        .select("event_id", "ts", "user_id", "value")
+    clicks = e.filter("event_type = 'click'") \
+        .select("event_id", "ts", "user_id", "value")
+
+    def rows(**kw):
+        return sorted(
+            tuple(r) for r in
+            asof_join(buys, clicks, "user_id", "ts", "event_id",
+                      ["value"], **kw).collect())
+
+    base = rows()
+    for bucket in (1, 3_600_000_000, 86_400_000_000 * 365):
+        assert rows(skew_bucket_us=bucket) == base, f"bucket={bucket}"
+    tol = rows(tolerance_us=3_600_000_000)
+    assert rows(tolerance_us=3_600_000_000,
+                skew_bucket_us=600_000_000) == tol
+
+
+def test_skew_bucketed_handles_nulls_and_boundaries(spark):
+    from datetime import datetime as dt
+
+    import pandas as pd
+
+    clicks = spark.createDataFrame(pd.DataFrame({
+        "event_id": [0, 1, 2], "ts": [pd.NaT, pd.Timestamp("2024-01-01"),
+                                      pd.Timestamp("2024-01-03")],
+        "user_id": [1.0, 1.0, 1.0], "value": [1.0, 2.0, 3.0]}),
+        "event_id long, ts timestamp, user_id long, value double")
+    buys = spark.createDataFrame(
+        [(10, dt(2024, 1, 2), 1, 5.0),      # bucket with NO click:
+         (11, dt(2024, 1, 4), 1, 6.0),      # carry crosses empty bucket
+         (12, None, 1, 7.0)],               # NULL ts: never matches
+        "event_id long, ts timestamp, user_id long, value double")
+    out = {r.event_id: r for r in
+           asof_join(buys, clicks, "user_id", "ts", "event_id",
+                     ["value"],
+                     skew_bucket_us=86_400_000_000).collect()}
+    assert out[10].asof_event_id == 1       # carried from prior bucket
+    assert out[11].asof_event_id == 2
+    assert out[12].asof_event_id is None and out[12].asof_lag_us is None
+
+
+def test_skew_bucket_validation(spark):
+    import pytest
+
+    good = _ev(spark, [(0, 10, 1, 1.0)])
+    with pytest.raises(ValueError, match="skew_bucket_us"):
+        asof_join(good, good, "user_id", "ts", "event_id", ["value"],
+                  skew_bucket_us=0)
+
+
 def test_validation_rejects_bad_inputs(spark):
     import pytest
 

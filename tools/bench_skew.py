@@ -167,6 +167,65 @@ def main():
         assert n == N_TURNS
         extract_timings[mode] = round(best, 3)
 
+    # ---- as-of join: hot-key window straggler (round-5 verdict) ---
+    # one user holds HOT_FRAC of ALL events: the single-window plan
+    # sorts that user's whole history in ONE WindowExec task; the
+    # chunked plan ((key, time-bucket) + boundary-carry pass) spreads
+    # it over ~n_buckets tasks.  Identity of the two outputs is
+    # asserted via a full-column hash sum.
+    from vision_parse_spark.operators.temporal import asof_join
+
+    asof_regimes = []
+    for n_ev, hot in ((N_TURNS, HOT_FRAC), (4 * N_TURNS, 0.4)):
+        ev = spark.range(n_ev, numPartitions=CPUS * 2).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.when(F.col("id") % 10 < 10 * hot, F.lit("user_hot"))
+            .otherwise(F.concat(F.lit("u"),
+                                (F.col("id") % 40000).cast("string")))
+            .alias("user_id"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            (F.col("id") % 2 == 0).alias("is_click"),
+        )
+        path = f"{inp}_asof_{n_ev}_{int(hot * 100)}"
+        ev.write.mode("overwrite").parquet(path)
+        ev = spark.read.parquet(path)
+        clicks = ev.filter("is_click").drop("is_click")
+        buys = ev.filter("NOT is_click").drop("is_click")
+        # ts spans n_ev seconds; ~64 buckets over the span
+        bucket_us = max(1, (n_ev // 64)) * 1_000_000
+        asof_timings, sums = {}, {}
+        for mode, kwargs in (("single_window", {}),
+                             ("chunked", {"skew_bucket_us": bucket_us})):
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                out = asof_join(buys, clicks, "user_id", "ts",
+                                "event_id", ["value"], **kwargs)
+                s = out.agg(F.sum(F.xxhash64(*out.columns)
+                                  .cast("decimal(38,0)"))).first()[0]
+                best = min(best, time.perf_counter() - t0)
+            asof_timings[mode] = round(best, 3)
+            sums[mode] = s
+        assert sums["single_window"] == sums["chunked"], sums
+        micros = F.unix_micros(F.col("ts"))
+        asof_regimes.append({
+            "n_events": n_ev,
+            "hot_frac": hot,
+            "bucket_us": bucket_us,
+            "wall_sec": asof_timings,
+            "speedup_chunked": round(
+                asof_timings["single_window"] / asof_timings["chunked"],
+                3),
+            "reducer_balance": {
+                "single_window": reducer_balance(ev, ["user_id"]),
+                "chunked": reducer_balance(
+                    ev.withColumn("_bkt",
+                                  F.floor(micros / F.lit(bucket_us))),
+                    ["user_id", "_bkt"]),
+            },
+        })
+
     result = {
         "metric": "skew_demo",
         "n_turns": N_TURNS,
@@ -181,6 +240,12 @@ def main():
         "extract_salted_speedup": round(
             extract_timings["narrow_skewed_splits"]
             / extract_timings["salted_repartition"], 3),
+        # identical output hash asserted per regime; the chunked
+        # window always fixes the reducer balance, and its wall-clock
+        # crosses over once the hot key dwarfs the per-core share
+        # (at this box's scale a 10%-hot key still sorts in-memory
+        # in one task, so chunking only pays off in the heavy regime)
+        "asof_skew": asof_regimes,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/skew.json", "w") as f:

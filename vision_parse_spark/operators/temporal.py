@@ -36,6 +36,7 @@ def asof_join(
     id_col: str,
     right_value_cols: list[str],
     tolerance_us: int | None = None,
+    skew_bucket_us: int | None = None,
 ) -> DataFrame:
     """For every ``left`` row, attach the latest ``right`` row with
     ``right.ts <= left.ts`` and the same ``on`` key (exact-timestamp
@@ -46,6 +47,21 @@ def asof_join(
     deterministic tiebreak).  ``tolerance_us`` bounds the lookback:
     matches older than that many microseconds are nulled, as in
     ``pandas.merge_asof(tolerance=...)``.
+
+    ``skew_bucket_us`` is the HOT-KEY defence (round-5 verdict): with
+    the default single window per key, one Zipf-head key is one
+    WindowExec partition — a lone straggler task doing a spilling
+    sort of that key's entire history.  Setting ``skew_bucket_us``
+    range-chunks the window: rows partition by ``(key,
+    floor(ts / bucket))``, the same last-ignorenulls window runs
+    WITHIN each time bucket (parallel across buckets, bounded sorts),
+    and a second pass over the per-bucket TAILS (one row per
+    key-bucket — control-plane-sized) carries each bucket's last
+    right payload across the boundary; a left row's match is then
+    ``coalesce(within-bucket, carry)``.  Results are IDENTICAL to the
+    unchunked path (pytest-asserted); pick a bucket width that gives
+    the hottest key ~10-1000 buckets (e.g. a day of microseconds for
+    a year of events).
     """
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
@@ -84,13 +100,52 @@ def asof_join(
                     F.col(id_col).alias("_oid"),
                     F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
                     *[F.col(c).alias(f"_l_{c}") for c in lcols])
-    w = (Window.partitionBy(on)
-         .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
-                  F.col("_oid").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (r.unionByName(l)
-               .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
-               .filter(F.col("_side") == 1))
+    u = r.unionByName(l)
+    if skew_bucket_us is None:
+        w = (Window.partitionBy(on)
+             .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                      F.col("_oid").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (u.withColumn("_m",
+                                F.last("_rpay", ignorenulls=True).over(w))
+                    .filter(F.col("_side") == 1))
+    else:
+        if skew_bucket_us < 1:
+            raise ValueError(
+                f"asof_join: skew_bucket_us must be >= 1 microsecond, "
+                f"got {skew_bucket_us}")
+        # chunked window: (key, time-bucket) partitions bound every
+        # sort; NULL-ts left rows land in a NULL bucket that joins
+        # nothing and windows over left rows only -> no match, same
+        # as the unchunked path's NULLS FIRST ordering
+        micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        u = u.withColumn("_bkt", F.floor(micros / F.lit(skew_bucket_us)))
+        w1 = (Window.partitionBy(on, "_bkt")
+              .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                       F.col("_oid").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        u = u.withColumn("_ml", F.last("_rpay", ignorenulls=True).over(w1))
+        # per-(key, bucket) tail = the bucket's last right payload
+        # (max_by skips rows whose ordering struct is NULL, i.e. the
+        # left side); this agg inherits w1's (key, bucket)
+        # partitioning so no extra exchange on the big relation
+        tails = u.groupBy(on, "_bkt").agg(
+            F.max_by(
+                "_rpay",
+                F.when(F.col("_side") == 0,
+                       F.struct(F.col("_rpay._rts").alias("t"),
+                                F.col("_oid").alias("i")))).alias("_tail"))
+        # cumulative carry over STRICTLY EARLIER buckets, per key —
+        # the tails relation is one row per key-bucket, so even a key
+        # holding 10% of all events contributes only its bucket count
+        w2 = (Window.partitionBy(on).orderBy(F.col("_bkt").asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (tails.withColumn(
+                     "_carry", F.last("_tail", ignorenulls=True).over(w2))
+                 .select(on, "_bkt", "_carry"))
+        matched = (u.filter(F.col("_side") == 1)
+                    .join(carry, [on, "_bkt"], "left")
+                    .withColumn("_m", F.coalesce("_ml", "_carry")))
     lag = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.col("_m._rts")
     if tolerance_us is not None:
         matched = matched.withColumn(
