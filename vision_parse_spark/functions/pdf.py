@@ -1190,6 +1190,33 @@ def _page_mediabox(objs: dict[int, _Obj], page_num: int) -> list[float]:
     return [0.0, 0.0, 612.0, 792.0]
 
 
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
+
+
+def _page_rotate(objs: dict[int, _Obj], page_num: int) -> int:
+    """/Rotate of the page, walking /Parent inheritance (spec
+    7.7.3.3/7.7.3.4): clockwise display rotation in degrees,
+    normalized to {0, 90, 180, 270}.  Non-multiples of 90 are
+    invalid per spec and treated as 0.  The reference renders with
+    this rotation (parser.py:104-107,118 — ``page.get_rotation()``
+    feeds ``render(rotation=...)``), so the CV region chain must see
+    the rotated canvas."""
+    seen: set[int] = set()
+    num: int | None = page_num
+    while num is not None and num not in seen:
+        seen.add(num)
+        obj = objs.get(num)
+        if obj is None:
+            break
+        m = _ROTATE_RE.search(obj.body)
+        if m:
+            rot = int(m.group(1)) % 360
+            return rot if rot % 90 == 0 else 0
+        pm = _PARENT_RE.search(obj.body)
+        num = int(pm.group(1)) if pm else None
+    return 0
+
+
 def _mat_mul(m2: tuple, m1: tuple) -> tuple:
     """Concatenate affine maps (row-vector convention): the returned
     matrix applies ``m2`` first, then ``m1`` — the ``cm`` semantics
@@ -1807,7 +1834,16 @@ def rasterize_pdf_vector_pages(
                             _annot_device_matrix(ap, base),
                             _form_resolver(objs, ap.resources), 1, state)
         if state["canvas"] is not None and state["ink"] <= 245:
-            out.append((page_idx, state["canvas"]))
+            canvas = state["canvas"]
+            rot = _page_rotate(objs, p)
+            if rot:
+                # /Rotate is CLOCKWISE display rotation; np.rot90's
+                # positive k is counter-clockwise, so k = -rot/90.
+                # Rotating the finished canvas (annots included) is
+                # exactly pdfium's rotated render of the whole page.
+                canvas = np.ascontiguousarray(np.rot90(canvas,
+                                                       k=-rot // 90))
+            out.append((page_idx, canvas))
     return out
 
 
