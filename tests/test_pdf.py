@@ -1082,3 +1082,97 @@ def test_rotate_90_twin_extracts_matching_region_set():
     a, b = _png_array(got[0]), _png_array(rot[0])
     assert a.shape[0] == b.shape[1] and a.shape[1] == b.shape[0]
     assert (np.rot90(a, k=-1) == b).all()
+
+
+# ---------------------------------------------------------------------------
+# encrypted PDFs (round-5 verdict missing #2: pdfium opens empty-user-
+# password files transparently, parser.py:165; locked files must be
+# error-as-data, never silent garbage)
+# ---------------------------------------------------------------------------
+
+
+def _enc_builders():
+    from vision_parse_spark.functions.pdf import encrypt_pdf_bytes
+    return encrypt_pdf_bytes
+
+
+def test_encrypted_text_roundtrip_all_modes():
+    from vision_parse_spark.functions.pdf import (
+        encrypt_pdf_bytes,
+        extract_pdf_text,
+        make_pdf_bytes,
+    )
+
+    plain = make_pdf_bytes([["hello encrypted world", "second line"],
+                            ["page two text"]])
+    want = extract_pdf_text(plain)
+    for mode in ("rc4", "aesv2", "aes256"):
+        enc = encrypt_pdf_bytes(plain, mode=mode)
+        assert b"hello" not in enc          # streams really ciphered
+        assert extract_pdf_text(enc) == want, mode
+
+
+def test_encrypted_vector_and_image_channels_roundtrip():
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import (
+        encrypt_pdf_bytes,
+        extract_pdf_images,
+        make_pdf_bytes,
+        rasterize_pdf_vector_pages,
+    )
+
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 255, (40, 60, 3))).astype(np.uint8)
+    plain = make_pdf_bytes([["fig page"]], images={0: img},
+                           vector_figures=[0])
+    (_, base), = rasterize_pdf_vector_pages(plain)
+    for mode in ("rc4", "aesv2"):
+        enc = encrypt_pdf_bytes(plain, mode=mode)
+        (_, canvas), = rasterize_pdf_vector_pages(enc)
+        assert (canvas == base).all(), mode
+        got = extract_pdf_images(enc)
+        assert len(got) == 1 and (got[0][2] == img).all(), mode
+
+
+def test_locked_pdf_is_error_as_data_status_encrypted():
+    import pandas as pd
+
+    from vision_parse_spark.config import ExtractConfig
+    from vision_parse_spark.errors import EncryptedPayloadError
+    from vision_parse_spark.functions.pdf import (
+        encrypt_pdf_bytes,
+        make_pdf_bytes,
+    )
+    from vision_parse_spark.operators.pipeline import extract_pandas
+
+    locked = encrypt_pdf_bytes(
+        make_pdf_bytes([["top secret"]]), mode="rc4",
+        user_pwd=b"hunter2").decode("latin-1")
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "text": [locked]})
+    out = extract_pandas(pdf, ExtractConfig(image_mode="url"))
+    assert list(out["status"]) == ["encrypted"]
+    assert out["markdown"].iloc[0] == ""
+    assert "encrypted_pdf" in out["error"].iloc[0]
+    assert out["images"].iloc[0] == []
+
+    with pytest.raises(EncryptedPayloadError):
+        extract_pandas(pdf, ExtractConfig(image_mode="url", strict=True))
+
+
+def test_locked_pdf_never_leaks_ciphertext_text():
+    from vision_parse_spark.functions.pdf import (
+        encrypt_pdf_bytes,
+        make_pdf_bytes,
+    )
+    from vision_parse_spark.functions.classify import classify_batch
+    import pandas as pd
+
+    locked = encrypt_pdf_bytes(
+        make_pdf_bytes([["top secret"]]), mode="aes256",
+        user_pwd=b"pw").decode("latin-1")
+    res = classify_batch(pd.Series([locked]))
+    assert res["payload_kind"].iloc[0] == "pdf_encrypted"
+    assert res["extracted_text"].iloc[0] == ""
+    assert not bool(res["images_detected"].iloc[0])

@@ -20,6 +20,11 @@ class UnsupportedPayloadError(VisionParseSparkError):
     UnsupportedFileError's suffix check, parser.py:29-31,157-161)."""
 
 
+class EncryptedPayloadError(VisionParseSparkError):
+    """PDF payload is password-locked beyond the empty-user-password
+    standard handler (non-strict runs record status 'encrypted')."""
+
+
 class ExtractionError(VisionParseSparkError):
     """Classification/formatting failed (analog of LLMError)."""
 

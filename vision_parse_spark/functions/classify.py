@@ -106,14 +106,25 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None,
 
     extracted = t.copy()
     pdf_vector_ink = pd.Series(False, index=t.index)
+    pdf_encrypted = pd.Series(False, index=t.index)
     if pdf_mask.any():
         from .pdf import extract_pdf_text_series
 
-        parsed_pdf, _parse_ok, vec_ink = extract_pdf_text_series(
-            t[pdf_mask], with_vector_flag=True,
-            include_annotations=include_annotations)
+        parsed_pdf, _parse_ok, vec_ink, encrypted = \
+            extract_pdf_text_series(
+                t[pdf_mask], with_vector_flag=True,
+                include_annotations=include_annotations,
+                with_encrypted_flag=True)
         extracted = extracted.mask(pd.Series(pdf_mask, index=t.index), parsed_pdf)
         pdf_vector_ink.loc[vec_ink.index] = vec_ink
+        if encrypted.any():
+            # password-locked files surface as their own payload kind
+            # so the pipeline can record status='encrypted' instead of
+            # an empty row that looks like a legitimately blank doc
+            payload_kind = payload_kind.copy()
+            payload_kind.loc[encrypted.index[encrypted]] = \
+                "pdf_encrypted"
+            pdf_encrypted.loc[encrypted.index] = encrypted
     if html_mask.any():
         stripped_html = strip_html_boilerplate(t[html_mask])
         extracted = extracted.mask(pd.Series(html_mask, index=t.index), stripped_html)
@@ -143,10 +154,10 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None,
     # vector-drawn figures; flag computed during the text parse above).
     # The full decode happens lazily in the images operator — this is
     # the vectorized detection gate, P3.
-    images_detected = has_marker | (
+    images_detected = (has_marker | (
         pd.Series(pdf_mask, index=t.index)
         & t.str.contains(r"/Subtype\s*/Image\b", regex=True, na=False)
-    ) | pdf_vector_ink
+    ) | pdf_vector_ink) & ~pdf_encrypted  # locked: nothing decodable
 
     # --- confidence: "this text is already final" score --------------
     # clean-character ratio, halved when unformatted structure remains

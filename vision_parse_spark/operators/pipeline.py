@@ -105,6 +105,22 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         analysis.loc[binary_mask, "text_detected"] = False
         analysis.loc[binary_mask, "extracted_text"] = ""
 
+    # password-locked PDFs: error-as-data status 'encrypted' (the
+    # parse already emitted "" instead of ciphertext garbage); strict
+    # mode raises like the reference would surface a pdfium failure
+    encrypted_mask = (analysis["payload_kind"]
+                      == "pdf_encrypted").to_numpy(dtype=bool)
+    if encrypted_mask.any():
+        if cfg.strict:
+            from ..errors import EncryptedPayloadError
+
+            bad = pdf.index[encrypted_mask][0]
+            raise EncryptedPayloadError(
+                f"password-protected PDF at row {bad} (empty user "
+                f"password rejected)")
+        error[encrypted_mask] = \
+            "encrypted_pdf: empty user password rejected"
+
     text_det = analysis["text_detected"].to_numpy(dtype=bool)
     tables = analysis["tables_detected"].to_numpy(dtype=bool)
     latex = analysis["latex_detected"].to_numpy(dtype=bool)
@@ -141,8 +157,9 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
     # ---- P1: no text -> "" with row kept (llm.py:333-334) --------
     status = pd.Series(
-        np.where(binary_mask, "unsupported",
-                 np.where(text_det, "ok", "empty")),
+        np.where(encrypted_mask, "encrypted",
+                 np.where(binary_mask, "unsupported",
+                          np.where(text_det, "ok", "empty"))),
         index=pdf.index, dtype="object",
     )
 
