@@ -1176,3 +1176,108 @@ def test_locked_pdf_never_leaks_ciphertext_text():
     assert res["payload_kind"].iloc[0] == "pdf_encrypted"
     assert res["extracted_text"].iloc[0] == ""
     assert not bool(res["images_detected"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# /RunLengthDecode + skipped-codec accounting (round-5 verdict #5)
+# ---------------------------------------------------------------------------
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """Minimal RunLength encoder (literal runs only + repeat runs for
+    long same-byte stretches) for fixtures."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and j - i < 127 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+        else:
+            k = min(i + 128, len(data))
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+def test_runlength_content_stream_decodes():
+    from vision_parse_spark.functions.pdf import _runlength
+
+    content = b"BT /F1 12 Tf 72 720 Td (run    length text) Tj ET"
+    enc = _rl_encode(content)
+    assert _runlength(enc) == content
+    pdf = mini(enc).replace(
+        b"<< /Length", b"<< /Filter /RunLengthDecode /Length")
+    assert extract_pdf_text(pdf) == "run    length text"
+    with pytest.raises(ValueError):
+        _runlength(b"\x05ab")        # truncated literal
+    with pytest.raises(ValueError):
+        _runlength(b"\xfe")          # truncated repeat
+
+
+def test_runlength_image_xobject_decodes():
+    import numpy as np
+
+    from vision_parse_spark.functions.pdf import extract_pdf_images
+
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    arr[2:6, 2:6] = 200
+    raw = _rl_encode(arr.tobytes())
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+           b"<< /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length 0 >>\nstream\n\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Filter /RunLengthDecode /Length " + str(len(raw)).encode()
+           + b" >>\nstream\n" + raw + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n")
+    got = extract_pdf_images(pdf)
+    assert len(got) == 1 and (got[0][2] == arr).all()
+
+
+def _jpx_fixture() -> bytes:
+    fake = b"\x00\x00\x00\x0cjP  \r\n\x87\nFAKEJP2DATA"
+    content = b"BT /F1 12 Tf 72 720 Td (digitized archive page) Tj ET"
+    return (b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+            b"<< /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 32 "
+            b"/Height 32 /Filter /JPXDecode /Length "
+            + str(len(fake)).encode()
+            + b" >>\nstream\n" + fake + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n")
+
+
+def test_jpx_xobject_yields_visible_skip_marker():
+    from vision_parse_spark.functions.pdf import extract_pdf_images
+
+    skipped: list = []
+    assert extract_pdf_images(_jpx_fixture(), skipped_out=skipped) == []
+    assert skipped == [(0, "Im0", "no_decoder:JPXDecode")]
+
+
+def test_pipeline_surfaces_skipped_codec_in_error_column():
+    import pandas as pd
+
+    from vision_parse_spark.config import ExtractConfig
+    from vision_parse_spark.operators.pipeline import extract_pandas
+
+    payload = _jpx_fixture().decode("latin-1")
+    pdf = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                        "text": [payload]})
+    out = extract_pandas(pdf, ExtractConfig(image_mode="url"))
+    # text channel intact -> status stays 'ok'; the codec loss is
+    # VISIBLE in the error column
+    assert out["status"].iloc[0] == "ok"
+    assert "digitized archive page" in out["markdown"].iloc[0]
+    err = out["error"].iloc[0]
+    assert err is not None and "no_decoder:JPXDecode" in err
+    assert list(out["images"].iloc[0]) == []

@@ -432,6 +432,7 @@ def extract_images_from_marker_text(
     text: str, image_mode: str, page_number: int,
     vector_figures: bool = True, include_annotations: bool = True,
     raster_dpi: int = 72, preserve_transparency: bool = False,
+    skipped_out: list | None = None,
     **kwargs
 ) -> list[dict]:
     """Image regions for one turn payload.
@@ -461,7 +462,11 @@ def extract_images_from_marker_text(
         data = text.encode("latin-1", errors="replace")
         page_region_count: dict[int, int] = {}
         try:
-            embedded = extract_pdf_images(data)
+            # skipped_out collects (page, name, reason) for images
+            # with no decoder (JPX/JBIG2) or a failed decode — the
+            # pipeline surfaces them in the error column so codec
+            # loss is never silent
+            embedded = extract_pdf_images(data, skipped_out=skipped_out)
         except (PdfParseError, ValueError):
             embedded = []
         for page_idx, _name, arr in embedded:

@@ -178,11 +178,13 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         )
         for pos in positions:  # per detected-image entity, like the
             # reference's per-page ImageData.extract_images call
+            skipped: list = []
             try:
                 imgs = extract_images_from_marker_text(
                     raw_texts.iloc[pos],
                     cfg.image_mode,
                     int(turn_idx_vals[pos]),
+                    skipped_out=skipped,
                     min_dimensions=cfg.min_image_dims,
                     std_min=cfg.region_std_min,
                     mean_lo=cfg.region_mean_lo,
@@ -204,6 +206,14 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 status.iloc[pos] = "error"
                 continue
             images_col[pos] = imgs
+            if skipped and error.iloc[pos] is None:
+                # data-loss marker, NOT a failure: the row's other
+                # channels are intact, so status stays as-is and the
+                # skip is visible in the error column (round-5
+                # verdict: JPX/JBIG2 skips must never be silent)
+                error.iloc[pos] = "skipped_images: " + "; ".join(
+                    f"page{pi} {nm} [{reason}]"
+                    for pi, nm, reason in skipped)
             if imgs:
                 if not text_det[pos]:
                     status.iloc[pos] = "ok"  # textless row with images
