@@ -413,6 +413,30 @@ def _q_curate(spark, sf_dir):
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
 
+def _q_curate_full(spark, sf_dir):
+    # the SEVEN-stage curation composition — every cleaning family
+    # the engine implements chained end to end: quality gate ->
+    # repetition gate -> decontamination (eval = doc_id % 10 == 0,
+    # same split as the decontaminate query) -> SemDeDup over the
+    # survivors' embeddings -> MinHash near-dedup -> frequent-span
+    # cut -> PII scrub.  Each stage is individually oracled; this
+    # query proves their composition (gate-first pruning order,
+    # subset-consistent KMeans init, anti-join drop semantics).
+    #
+    # Same parity note as `curate`: the production dedup stage runs
+    # the Arrow xxhash signature path while the oracle replays the
+    # portable md5 construction — equality is a measured property of
+    # the corpus (both verify with exact jaccard >= 0.5).
+    from vision_parse_spark.operators.curation import curate_full
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter("doc_id % 10 = 0")
+    tr = d.filter("doc_id % 10 != 0")
+    emb = _t(spark, sf_dir, "embeddings")
+    return curate_full(tr, ev, emb).select(
+        "doc_id", F.md5("text").alias("scrubbed_md5"))
+
+
 def _q_decontaminate(spark, sf_dir):
     # benchmark decontamination: training docs sharing >= 2 distinct
     # word 5-grams with the eval split (doc_id % 10 == 0) are dropped;
@@ -864,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
+        "curate_full": _q_curate_full,
         "decontaminate": _q_decontaminate,
         "contamination_hits": _q_contamination_hits,
         "pack_contexts": _q_pack_contexts,
@@ -959,7 +984,8 @@ def oracle_sql() -> dict[str, str]:
     # list_distance ordering == the operator's squared-distance
     # ordering (sqrt is strictly monotonic).  Dimensionality comes
     # from the data (len(e.v)), not a literal.
-    def _kmeans_ctes(k: int, iters: int) -> str:
+    def _kmeans_ctes(k: int, iters: int,
+                     emb_src: str = "embeddings") -> str:
         def assign(t):
             return (
                 f"a{t} AS (SELECT vec_id, cid AS cluster FROM ("
@@ -968,8 +994,8 @@ def oracle_sql() -> dict[str, str]:
                 f"list_distance(e.v, c.cent), c.cid) AS rn "
                 f"FROM emb e CROSS JOIN c{t} c) WHERE rn = 1)")
         ctes = [
-            "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v"
-            " FROM embeddings)",
+            f"emb AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+            f" FROM {emb_src})",
             f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
             f" AS cid, v AS cent FROM (SELECT vec_id, v FROM emb"
             f" ORDER BY vec_id LIMIT {k}))",
@@ -1918,5 +1944,87 @@ def oracle_sql() -> dict[str, str]:
           SELECT g.doc_id, g.text FROM gated g
           ANTI JOIN losers USING (doc_id))
         SELECT doc_id, scrubbed_md5 FROM ({_scrub_sql('surv')})
+    """
+    # the SEVEN-stage composition (curate_full): the curate chain
+    # with decontamination, SemDeDup and the frequent-span cut
+    # spliced in at their pipeline positions.  Stage replay notes:
+    # the decon predicate (>= 2 shared distinct 5-grams with the
+    # eval split) is per-train-doc independent, so the full-corpus
+    # contamination_hits oracle anti-joins cleanly against the gated
+    # subset; KMeans is NOT subset-independent, so the Lloyd chain
+    # replays over exactly the decon survivors' embeddings (init =
+    # k lowest surviving vec_ids, mirroring the operator's init on
+    # its input); the span doc-frequency threshold counts documents
+    # among DEDUP SURVIVORS only, exactly as the Spark composition
+    # orders the stages.
+    out["curate_full"] = f"""
+        WITH qual AS (
+          SELECT doc_id FROM ({out['quality_score']})
+          WHERE quality_e4 >= 5000),
+        rep AS (
+          SELECT doc_id FROM ({out['repetition_stats']})
+          WHERE dup_line_frac <= 0.3 AND top_bigram_frac <= 0.2),
+        gated AS (
+          SELECT dc.doc_id, dc.text FROM documents dc
+          JOIN qual USING (doc_id)
+          JOIN rep USING (doc_id)
+          WHERE dc.doc_id % 10 != 0),
+        cont AS (
+          SELECT doc_id FROM ({out['contamination_hits']})
+          WHERE n_hits >= 2),
+        decon AS (
+          SELECT g.doc_id, g.text FROM gated g
+          ANTI JOIN cont USING (doc_id)),
+        sub_emb AS (
+          SELECT e.vec_id, e.embedding FROM embeddings e
+          JOIN decon sv ON e.vec_id = sv.doc_id),
+        {_kmeans_ctes(8, 2, 'sub_emb')},
+        tagged AS (
+          SELECT e.vec_id, e.v, a.cluster
+          FROM emb e JOIN a2 a USING (vec_id)),
+        semdrop AS (
+          SELECT DISTINCT hi.vec_id
+          FROM tagged lo JOIN tagged hi
+            ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+          WHERE list_cosine_similarity(lo.v, hi.v) >= 0.3),
+        sem_surv AS (
+          SELECT d2.doc_id, d2.text FROM decon d2
+          ANTI JOIN semdrop ON d2.doc_id = semdrop.vec_id),
+        {_mh_pairs_cte('sem_surv')},
+        losers AS (SELECT DISTINCT id_b AS doc_id FROM ver),
+        dd AS (
+          SELECT s2.doc_id, s2.text FROM sem_surv s2
+          ANTI JOIN losers USING (doc_id)),
+        sd AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != '') AS t
+          FROM dd),
+        sp AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(t[i + 1 : i + 3], ' ') AS gram
+          FROM sd, unnest(range(len(t) - 2)) AS u(i)
+          WHERE len(t) >= 3),
+        fr AS (
+          SELECT gram
+          FROM (SELECT gram, count(DISTINCT doc_id) AS c
+                FROM sp GROUP BY gram)
+          WHERE c > 3),
+        cov AS (
+          SELECT doc_id, list(pos) AS starts
+          FROM sp JOIN fr USING (gram) GROUP BY doc_id),
+        cut AS (
+          SELECT sd.doc_id,
+                 CASE WHEN c.starts IS NULL THEN t
+                      ELSE list_filter(t, (x, i) ->
+                             len(list_filter(c.starts, s ->
+                                 s <= i - 1 AND i - 1 <= s + 2)) = 0)
+                 END AS kept
+          FROM sd LEFT JOIN cov c USING (doc_id)),
+        spanout AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(kept, ' '), '') AS text
+          FROM cut)
+        SELECT doc_id, scrubbed_md5 FROM ({_scrub_sql('spanout')})
     """
     return out

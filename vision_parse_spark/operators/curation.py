@@ -94,3 +94,114 @@ def curate(
         gated, id_col, text_col, jaccard_threshold=jaccard_threshold,
     )
     return scrub_pii(survivors, text_col)
+
+
+def curate_full(
+    df: DataFrame,
+    eval_df: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_quality_e4: int = 5000,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    decon_n: int = 5,
+    decon_min_hits: int = 2,
+    sem_k: int = 8,
+    sem_iters: int = 2,
+    sem_threshold: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    span_n: int = 3,
+    span_max_df: int = 3,
+) -> DataFrame:
+    """The FULL curation composition — every dedup/cleaning family the
+    engine implements, chained in the order a real pretraining
+    pipeline runs them (gates first, broadcast-side checks next,
+    shuffling dedups over the pruned corpus, the rewrite passes last):
+
+        quality gate          narrow Catalyst filter
+        -> repetition gate    dup-line / top-bigram fractions
+        -> decontamination    eval n-grams BROADCAST, corpus never
+                              shuffles for it
+        -> SemDeDup           KMeans cells + tiled-matmul verify over
+                              the gated docs' embeddings (Abbas 2023)
+        -> MinHash near-dedup LSH banding, Arrow signature path
+        -> span removal       Lee-et-al frequent-span cut (rewrites
+                              the text to normalized token space)
+        -> PII scrub          one codegen'd Project
+
+    ``embeddings`` rows join ``df`` on ``vec_id_col == id_col`` (the
+    synthetic tables share the id space; in production the embedding
+    table is keyed by the same doc id).  A document with NO embedding
+    row passes the SemDeDup stage untouched — the stage can only DROP
+    verified semantic near-dups, never lose coverage, so the survivor
+    set is computed as an anti-join against the dropped ids rather
+    than a semi-join against the kept ids.  Returns ``(id_col,
+    text_col)`` with the span-cut, scrubbed text of every surviving
+    document.
+
+    Scale shape: each gate prunes BEFORE the next stage's shuffle;
+    the two heavy exchanges (SemDeDup cell join, LSH banding) read
+    only gate+decon survivors; the span doc-frequency aggregate runs
+    over dedup survivors only; everything else is narrow or
+    broadcast.  Every stage is individually oracled — this query
+    proves the seven-stage composition end to end."""
+    from .clustering import semdedup
+    from .decontaminate import decontaminate
+    from .spans import remove_frequent_spans
+
+    n_tok = F.size(F.regexp_extract_all(text_col,
+                                        F.lit("[A-Za-z0-9]+"), 0))
+    qual = (
+        df.filter(n_tok > 0)
+        .filter(quality_e4_col(text_col) >= min_quality_e4)
+        .select(id_col)
+    )
+    rep = (
+        repetition_stats(df, id_col, text_col)
+        .filter((F.col("dup_line_frac") <= max_dup_line_frac)
+                & (F.col("top_bigram_frac") <= max_top_bigram_frac))
+        .select(id_col)
+    )
+    gated = (
+        df.select(id_col, text_col)
+        .join(qual, id_col, "left_semi")
+        .join(rep, id_col, "left_semi")
+    )
+    decon = decontaminate(gated, eval_df, id_col, text_col,
+                          n=decon_n, min_hits=decon_min_hits)
+    # one barrier: SemDeDup (k+1 scans for Lloyd), the LSH dedup
+    # (3 reads) and the span pass all re-read this relation.
+    # localCheckpoint truncates the already-long composed lineage
+    # (keeps Catalyst planning O(stage), not O(pipeline)); on a real
+    # cluster an executor loss before the final action forces a
+    # re-run from this barrier, the standard localCheckpoint trade.
+    decon = decon.localCheckpoint(eager=True)
+
+    sub_emb = embeddings.join(
+        decon.select(F.col(id_col).alias(vec_id_col)),
+        vec_id_col, "left_semi")
+    sem_keep = semdedup(sub_emb, k=sem_k, iters=sem_iters,
+                        threshold=sem_threshold, id_col=vec_id_col,
+                        vec_col=vec_col)
+    # dropped = gated embeddings minus survivors; anti-join so docs
+    # WITHOUT an embedding row pass through (the stage only drops
+    # verified near-dups, it never gates on embedding coverage)
+    sem_dropped = sub_emb.select(vec_id_col).join(
+        sem_keep, vec_id_col, "left_anti")
+    sem_surv = decon.join(
+        sem_dropped.select(F.col(vec_id_col).alias(id_col)),
+        id_col, "left_anti")
+    # the LSH dedup reads its input 3x (signature + both verify
+    # sides) and the span pass re-reads survivors: barrier once
+    sem_surv = sem_surv.localCheckpoint(eager=True)
+
+    deduped = minhash_dedup(sem_surv, id_col, text_col,
+                            jaccard_threshold=jaccard_threshold)
+    cut = remove_frequent_spans(deduped, n=span_n, max_df=span_max_df,
+                                id_col=id_col, text_col=text_col)
+    return scrub_pii(
+        cut.select(id_col, F.col("clean_text").alias(text_col)),
+        text_col)
