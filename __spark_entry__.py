@@ -437,6 +437,35 @@ def _q_curate_full(spark, sf_dir):
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
 
+def _q_gopher_signals(spark, sf_dir):
+    # the Gopher / MassiveText document-quality rule bundle (Rae et
+    # al. 2021, A1.1): word-count band, mean word length, symbol
+    # ratio, bullet/ellipsis line fractions, alphabetic-word
+    # fraction, stop-word containment — one narrow codegen'd
+    # Project, no shuffle.  Thresholds here are corpus-appropriate
+    # for the short synthetic docs (min_words=30, min_stop_hits=1)
+    # so the pass flag actually splits the table; the operator
+    # defaults are the paper's.
+    from vision_parse_spark.operators.selection import gopher_rules
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules(d, min_words=30, min_stop_hits=1)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR (Xie et al. 2023): hashed uni+bigram importance
+    # log-weights of raw docs (doc_id % 10 != 0) against the target
+    # split (doc_id % 10 == 0).  Bucket distributions are B-row
+    # broadcast aggregates; the only data-sized shuffle is the
+    # per-doc gram aggregation.
+    from vision_parse_spark.operators.selection import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = d.filter("doc_id % 10 = 0")
+    raw = d.filter("doc_id % 10 != 0")
+    return dsir_logweights(raw, tgt, n_buckets=512)
+
+
 def _q_decontaminate(spark, sf_dir):
     # benchmark decontamination: training docs sharing >= 2 distinct
     # word 5-grams with the eval split (doc_id % 10 == 0) are dropped;
@@ -889,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "curate": _q_curate,
         "curate_full": _q_curate_full,
+        "gopher_signals": _q_gopher_signals,
+        "dsir_weights": _q_dsir_weights,
         "decontaminate": _q_decontaminate,
         "contamination_hits": _q_contamination_hits,
         "pack_contexts": _q_pack_contexts,
@@ -2026,5 +2057,109 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(array_to_string(kept, ' '), '') AS text
           FROM cut)
         SELECT doc_id, scrubbed_md5 FROM ({_scrub_sql('spanout')})
+    """
+    # Gopher rule bundle (Rae et al. 2021 A1.1): replay every signal
+    # from the same token/line recipes; the pass flag compares the
+    # ROUNDED columns exactly as the Spark gate does.
+    _stop_lit = "['the','be','to','of','and','that','have','with']"
+    out["gopher_signals"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != '') AS t,
+                 list_filter(list_transform(
+                     string_split(text, chr(10)), x -> trim(x)),
+                     x -> x != '') AS lines
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 len(t) AS n_words,
+                 len(lines) AS n_lines,
+                 length(coalesce(array_to_string(t, ''), ''))
+                     AS tok_chars,
+                 len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                     AS n_sym,
+                 len(list_filter(lines, x ->
+                     regexp_matches(x, '^(\\*|-|•)'))) AS n_bullet,
+                 len(list_filter(lines, x ->
+                     regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ell,
+                 len(list_filter(t, x ->
+                     regexp_matches(x, '[a-z]'))) AS n_alpha,
+                 len(list_intersect(list_distinct(t), {_stop_lit}))
+                     AS stop_hits
+          FROM base),
+        r AS (
+          SELECT doc_id,
+                 n_words,
+                 round(CASE WHEN n_words > 0
+                       THEN tok_chars * 1.0 / n_words
+                       ELSE 0.0 END, 4) AS mean_word_len,
+                 round(CASE WHEN n_words > 0
+                       THEN n_sym * 1.0 / n_words
+                       ELSE 0.0 END, 4) AS symbol_word_ratio,
+                 round(CASE WHEN n_lines > 0
+                       THEN n_bullet * 1.0 / n_lines
+                       ELSE 0.0 END, 4) AS bullet_line_frac,
+                 round(CASE WHEN n_lines > 0
+                       THEN n_ell * 1.0 / n_lines
+                       ELSE 0.0 END, 4) AS ellipsis_line_frac,
+                 round(CASE WHEN n_words > 0
+                       THEN n_alpha * 1.0 / n_words
+                       ELSE 0.0 END, 4) AS alpha_word_frac,
+                 stop_hits
+          FROM sig)
+        SELECT *,
+               (n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 1) AS gopher_pass
+        FROM r
+    """
+    # DSIR (Xie et al. 2023): hashed uni+bigram counts -> smoothed
+    # bucket distributions for target (doc_id%10=0) and raw corpora
+    # -> per-raw-doc bag log-likelihood ratio.  Hash = the engine's
+    # portable md5 bucket; smoothing 1.0, B = 512.
+    out["dsir_weights"] = """
+        WITH tt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_concat(t, CASE WHEN len(t) >= 2
+                   THEN list_transform(range(len(t) - 1),
+                        i -> t[i + 1] || ' ' || t[i + 2])
+                   ELSE [] END) AS g
+          FROM tt),
+        db AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(gram), 1, 15))
+                      AS BIGINT) % 512 AS bucket,
+                 count(*) AS c
+          FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+          GROUP BY doc_id, bucket),
+        rawb AS (SELECT * FROM db WHERE doc_id % 10 != 0),
+        tgtb AS (SELECT * FROM db WHERE doc_id % 10 = 0),
+        qd AS (SELECT bucket, sum(c) AS qc FROM rawb GROUP BY bucket),
+        pd AS (SELECT bucket, sum(c) AS pc FROM tgtb GROUP BY bucket),
+        dist AS (
+          SELECT coalesce(qd.bucket, pd.bucket) AS bucket,
+                 coalesce(qc, 0) AS qc, coalesce(pc, 0) AS pc
+          FROM qd FULL JOIN pd ON qd.bucket = pd.bucket),
+        tot AS (SELECT sum(qc) AS qn, sum(pc) AS pn FROM dist),
+        lr AS (
+          SELECT bucket,
+                 ln((pc + 1.0) / (pn + 512.0))
+                   - ln((qc + 1.0) / (qn + 512.0)) AS lr
+          FROM dist, tot)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               round(sum(c * lr), 4) AS logw
+        FROM rawb JOIN lr USING (bucket)
+        GROUP BY doc_id
     """
     return out

@@ -1,0 +1,230 @@
+"""Data-selection operators: the Gopher rule filter bundle and DSIR
+hashed-n-gram importance weighting.
+
+Two published corpus-selection methods the curation family was still
+missing (both first-class LLM-pipeline ops next to the dedup /
+decontamination / mixture operators):
+
+* ``gopher_rules`` — the document-level quality heuristics of
+  Gopher / MassiveText (Rae et al. 2021, appendix A1.1): word-count
+  band, mean-word-length band, symbol-to-word ratio, bullet- and
+  ellipsis-line fractions, alphabetic-word fraction, stop-word
+  containment.  (The repetition-section rules of the same appendix —
+  duplicate line / top-n-gram fractions — live in
+  ``operators/repetition.py`` already and are NOT duplicated here;
+  compose the two for the full MassiveText gate.)
+
+* ``dsir_logweights`` / ``dsir_select`` — Data Selection via
+  Importance Resampling (Xie et al. 2023): documents are featurized
+  as hashed word uni+bigram counts, target and raw corpora induce
+  smoothed categorical distributions p / q over the hash buckets,
+  and each raw document scores the bag log-likelihood ratio
+  ``sum_b count_b * (ln p_b - ln q_b)``; selection takes the top-n
+  by that weight.
+
+Everything is pure Catalyst (``pyspark.sql.functions`` — zero
+Python in the data path) and each op has a byte-exact DuckDB oracle
+in ``__spark_entry__.py``.
+
+Scale shape (100 TB honest): gopher_rules is a narrow Project —
+no shuffle at all.  DSIR shuffles ONCE on the bounded bucket key
+(`n_buckets` distinct keys, map-side combine makes the exchange
+tiny), broadcasts the two B-row distributions back onto the gram
+stream, and aggregates per-doc on the id key — one data-sized
+shuffle; the target side is eval-sized and never gates corpus
+parallelism.  ``dsir_select``'s top-n ends in the bounded
+``TakeOrderedAndProject`` pattern (never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text_stats import ws_tokens
+from .sampling import hash_bucket
+
+# --- Gopher rules (Rae et al. 2021, A1.1 "quality filtering") ------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality signals + the combined pass flag.
+
+    Returns ``(id_col, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    stop_hits, gopher_pass)`` — one narrow codegen'd Project, no
+    shuffle; callers semi-join on the flag to gate a corpus.
+
+    Rule inventory follows the paper's word-level heuristics; the
+    duplicate-text rules of the same appendix are
+    ``operators/repetition.py`` (compose both for full MassiveText).
+    """
+    toks = ws_tokens(text_col)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    tk, ln = F.col("toks_"), F.col("lines_")
+    n_words = F.size(tk)
+    n_lines = F.size(ln)
+    # total token characters via the joined stream (no second explode)
+    tok_chars = F.length(F.array_join(tk, ""))
+    mean_wl = F.when(n_words > 0, tok_chars / n_words).otherwise(0.0)
+    n_sym = (F.size(F.regexp_extract_all(F.col(text_col),
+                                         F.lit("#"), 0))
+             + F.size(F.regexp_extract_all(
+                 F.col(text_col), F.lit(r"\.\.\.|…"), 0)))
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(0.0)
+    bullet_frac = F.when(n_lines > 0, F.size(F.filter(
+        ln, lambda x: x.rlike(r"^(\*|-|•)")
+    )) / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(n_lines > 0, F.size(F.filter(
+        ln, lambda x: x.rlike(r"(\.\.\.|…)$")
+    )) / n_lines).otherwise(0.0)
+    alpha_frac = F.when(n_words > 0, F.size(F.filter(
+        tk, lambda x: x.rlike("[a-z]"))) / n_words
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(tk),
+                                         stop_arr))
+
+    out = (
+        df.select(F.col(id_col), toks.alias("toks_"),
+                  lines.alias("lines_"), F.col(text_col))
+        .select(
+            id_col,
+            n_words.alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+            F.round(bullet_frac, 4).alias("bullet_line_frac"),
+            F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+            F.round(alpha_frac, 4).alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+    )
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("gopher_pass", gate)
+
+
+# --- DSIR (Xie et al. 2023) ----------------------------------------
+
+def _doc_buckets(df: DataFrame, id_col: str, text_col: str,
+                 n_buckets: int) -> DataFrame:
+    """(id, bucket, c): hashed uni+bigram feature counts per doc.
+    One explode over the token stream; the bigram stream is built by
+    zipping the token array with its tail (no second tokenize)."""
+    toks = ws_tokens(text_col)
+    grams = F.expr(
+        "concat(toks_, CASE WHEN size(toks_) >= 2 THEN "
+        "zip_with(slice(toks_, 1, size(toks_) - 1), "
+        "slice(toks_, 2, size(toks_) - 1), (a, b) -> "
+        "concat(a, ' ', b)) ELSE array() END)")
+    return (
+        df.select(F.col(id_col), toks.alias("toks_"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(F.col(id_col),
+                hash_bucket("gram", n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _bucket_dist(bucketed: DataFrame, out_col: str) -> DataFrame:
+    """(bucket, out_col): total gram count per hash bucket."""
+    return (bucketed.groupBy("bucket")
+            .agg(F.sum("c").alias(out_col)))
+
+
+def dsir_logweights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-raw-document DSIR importance log-weight.
+
+    ``log w(d) = sum_b c_db * (ln p_b - ln q_b)`` with add-``smoothing``
+    estimates ``p_b = (t_b + s) / (T + s*B)`` from the target corpus
+    and ``q_b`` likewise from the raw corpus.  Returns ``(id_col,
+    n_grams, logw)`` (logw rounded to 4 decimals for cross-engine
+    float stability; the ROUNDED value is the contract).
+
+    The two bucket distributions are B-row aggregates (map-side
+    combined, then broadcast); the only data-sized exchange is the
+    per-doc gram aggregation on ``id_col``.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    raw_b = _doc_buckets(raw_df, id_col, text_col, n_buckets)
+    tgt_b = _doc_buckets(target_df, id_col, text_col, n_buckets)
+    q = _bucket_dist(raw_b, "qc")
+    p = _bucket_dist(tgt_b, "pc")
+    # full outer over the bounded bucket space; unseen buckets get
+    # the smoothing mass only
+    dist = (q.join(p, "bucket", "full_outer")
+            .select("bucket",
+                    F.coalesce("qc", F.lit(0)).alias("qc"),
+                    F.coalesce("pc", F.lit(0)).alias("pc")))
+    totals = dist.agg(F.sum("qc").alias("qn"),
+                      F.sum("pc").alias("pn")).collect()[0]
+    qn = float(totals["qn"] or 0)
+    pn = float(totals["pn"] or 0)
+    s, b = float(smoothing), float(n_buckets)
+    ratio = dist.select(
+        "bucket",
+        (F.log((F.col("pc") + s) / F.lit(pn + s * b))
+         - F.log((F.col("qc") + s) / F.lit(qn + s * b))).alias("lr"),
+    )
+    return (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_grams"),
+             F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("logw"))
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Top-``n`` raw documents by DSIR importance weight (the
+    deterministic hard-selection variant; ``(logw desc, id)`` order
+    makes ties stable).  The limit compiles to the bounded
+    ``TakeOrderedAndProject`` — per-partition heaps, no global sort.
+    """
+    w = dsir_logweights(raw_df, target_df, id_col, text_col,
+                        n_buckets, smoothing)
+    return (w.orderBy(F.col("logw").desc(), F.col(id_col))
+             .limit(n))
