@@ -212,16 +212,55 @@ def main():
         "centroid sums, <= k*(dim+1) rows leave each batch; the "
         "dim-wide Catalyst aggregate alternative paid a per-iteration "
         "codegen compile that dominated the scan — kmeans_assign "
-        "8.7 -> 1.3 s after the fusion).  Candidate pairs are "
-        "confined to cells by an equi-join on the cluster id (CI: no "
-        "CartesianProduct); per-row norms are projected once BEFORE "
-        "the join; the greedy lowest-id survivor rule is a single "
-        "LeftAnti join — no iterative CC.  The within-cell pass is "
-        "O(sum cell^2) by design: scale k with N to bound cells "
-        "(measured in BASELINE.md: k=8 33 s -> k=64 8.2 s at 8x "
-        "data).  The plan below reads the checkpointed assignment "
-        "(ExistingRDD) — the Lloyd iterations ran inside it.",
+        "8.7 -> 1.3 s after the fusion).  Round 6: the within-cell "
+        "verify is the TILED Arrow matmul kernel "
+        "(groupBy(cluster).applyInPandas over _bucket_pairs_pdf, "
+        "32 MB scratch cap) — no per-pair interpreted folds; the "
+        "Catalyst fold survives as verify='portable' for the oracle "
+        "twin (set-equality pytest-asserted).  The greedy lowest-id "
+        "survivor rule is a single LeftAnti join — no iterative CC.  "
+        "The within-cell pass is O(sum cell^2) by design: scale k "
+        "with N to bound cells (measured in BASELINE.md: k=8 33 s "
+        "-> k=64 8.2 s at 8x data, and the matmul kernel cut the "
+        "per-pair constant ~10x).  The plan below reads the "
+        "checkpointed assignment (ExistingRDD) — the Lloyd "
+        "iterations ran inside it.",
         grab(sd),
+    ))
+
+    from vision_parse_spark.operators.selection import (
+        dsir_logweights,
+        gopher_rules,
+    )
+
+    gp = gopher_rules(docs.select("doc_id", "text"))
+    sections.append((
+        "Gopher rule bundle (gopher_signals)",
+        "round 6, Rae et al. 2021 A1.1.  Every signal (word-count "
+        "band, mean word length, symbol ratio, bullet/ellipsis line "
+        "fractions, alpha-word fraction, stop-word hits) is a "
+        "higher-order array expression over ONE tokenize/line-split "
+        "projection — a single narrow Project, zero Exchange "
+        "(CI-asserted): at 100 TB this is scan-bound, full stop.",
+        grab(gp),
+    ))
+
+    dw = dsir_logweights(
+        docs.select("doc_id", "text").filter("doc_id % 10 != 0"),
+        docs.select("doc_id", "text").filter("doc_id % 10 = 0"),
+        n_buckets=512)
+    sections.append((
+        "DSIR importance weights (dsir_weights)",
+        "round 6, Xie et al. 2023.  The two bucket distributions "
+        "aggregate onto a BOUNDED key space (n_buckets=512 distinct "
+        "keys — the exchange after map-side combine is B rows per "
+        "mapper, control-plane-sized) and their log-ratio table "
+        "broadcasts back onto the per-doc gram stream "
+        "(BroadcastHashJoin below — the corpus side never shuffles "
+        "for the ratio).  The ONLY data-sized exchange is the final "
+        "per-doc aggregation on doc_id.  Target-side cost is "
+        "eval-corpus-sized, never gating corpus parallelism.",
+        grab(dw),
     ))
 
     from vision_parse_spark.operators.corpus_stats import build_postings

@@ -133,11 +133,15 @@ def gopher_rules(
 
 # --- DSIR (Xie et al. 2023) ----------------------------------------
 
-def _doc_buckets(df: DataFrame, id_col: str, text_col: str,
+def _gram_stream(df: DataFrame, id_col: str, text_col: str,
                  n_buckets: int) -> DataFrame:
-    """(id, bucket, c): hashed uni+bigram feature counts per doc.
-    One explode over the token stream; the bigram stream is built by
-    zipping the token array with its tail (no second tokenize)."""
+    """(id, bucket): one row per hashed uni+bigram OCCURRENCE — a
+    NARROW explode over the token stream (the bigram stream zips the
+    token array with its tail, no second tokenize).  Deliberately
+    left un-aggregated: the bucket distribution aggregates it on the
+    bounded bucket key (map-side combine makes that exchange B-row
+    tiny) and the weight pass aggregates it on the id key, so
+    neither consumer pays a (id, bucket)-keyed data-sized shuffle."""
     toks = ws_tokens(text_col)
     grams = F.expr(
         "concat(toks_, CASE WHEN size(toks_) >= 2 THEN "
@@ -149,15 +153,14 @@ def _doc_buckets(df: DataFrame, id_col: str, text_col: str,
         .select(F.col(id_col), F.explode(grams).alias("gram"))
         .select(F.col(id_col),
                 hash_bucket("gram", n_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
-def _bucket_dist(bucketed: DataFrame, out_col: str) -> DataFrame:
-    """(bucket, out_col): total gram count per hash bucket."""
-    return (bucketed.groupBy("bucket")
-            .agg(F.sum("c").alias(out_col)))
+def _bucket_dist(stream: DataFrame, out_col: str) -> DataFrame:
+    """(bucket, out_col): total gram count per hash bucket — the
+    exchange is bounded by the bucket-key cardinality."""
+    return (stream.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out_col)))
 
 
 def dsir_logweights(
@@ -182,10 +185,10 @@ def dsir_logweights(
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    raw_b = _doc_buckets(raw_df, id_col, text_col, n_buckets)
-    tgt_b = _doc_buckets(target_df, id_col, text_col, n_buckets)
-    q = _bucket_dist(raw_b, "qc")
-    p = _bucket_dist(tgt_b, "pc")
+    raw_s = _gram_stream(raw_df, id_col, text_col, n_buckets)
+    tgt_s = _gram_stream(target_df, id_col, text_col, n_buckets)
+    q = _bucket_dist(raw_s, "qc")
+    p = _bucket_dist(tgt_s, "pc")
     # full outer over the bounded bucket space; unseen buckets get
     # the smoothing mass only
     dist = (q.join(p, "bucket", "full_outer")
@@ -202,11 +205,13 @@ def dsir_logweights(
         (F.log((F.col("pc") + s) / F.lit(pn + s * b))
          - F.log((F.col("qc") + s) / F.lit(qn + s * b))).alias("lr"),
     )
+    # the ONLY data-sized shuffle: per-doc aggregation of the
+    # ratio-joined occurrence stream (map-side partial sums)
     return (
-        raw_b.join(F.broadcast(ratio), "bucket")
+        raw_s.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("c").alias("n_grams"),
-             F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("logw"))
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.round(F.sum("lr"), 4).alias("logw"))
     )
 
 
