@@ -437,6 +437,19 @@ def _q_curate_full(spark, sf_dir):
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
 
+def _q_line_dedup(spark, sf_dir):
+    # line-granularity boilerplate removal (CCNet / RefinedWeb line
+    # dedup): trimmed lines recurring in > 3 distinct docs are cut
+    # from every doc, surviving lines keep their ORIGINAL bytes —
+    # the exact-whole-line complement of span_dedup's token n-grams.
+    # One full-corpus shuffle (two-stage distinct agg for line doc
+    # frequency); the cut is a codegen'd higher-order filter.
+    from vision_parse_spark.operators.spans import remove_frequent_lines
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_frequent_lines(d, max_df=3)
+
+
 def _q_gopher_signals(spark, sf_dir):
     # the Gopher / MassiveText document-quality rule bundle (Rae et
     # al. 2021, A1.1): word-count band, mean word length, symbol
@@ -920,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": _q_curate_full,
         "gopher_signals": _q_gopher_signals,
         "dsir_weights": _q_dsir_weights,
+        "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "contamination_hits": _q_contamination_hits,
         "pack_contexts": _q_pack_contexts,
@@ -2057,6 +2071,41 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(array_to_string(kept, ' '), '') AS text
           FROM cut)
         SELECT doc_id, scrubbed_md5 FROM ({_scrub_sql('spanout')})
+    """
+    # line-granularity boilerplate cut: replay the trimmed-line doc
+    # frequency, the removal-position lists and the order-preserving
+    # line filter (DuckDB list lambdas are 1-indexed -> p = i - 1,
+    # same adjustment as the span_dedup oracle).
+    out["line_dedup"] = """
+        WITH ld AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls
+          FROM documents),
+        st AS (
+          SELECT doc_id, i AS pos, trim(ls[i + 1]) AS key
+          FROM ld, unnest(range(len(ls))) AS u(i)
+          WHERE trim(ls[i + 1]) != ''),
+        fr AS (
+          SELECT key FROM (
+            SELECT key, count(DISTINCT doc_id) AS c
+            FROM st GROUP BY key)
+          WHERE c > 3),
+        rm AS (
+          SELECT doc_id, list(pos) AS rmp
+          FROM st JOIN fr USING (key) GROUP BY doc_id),
+        cut AS (
+          SELECT ld.doc_id,
+                 CASE WHEN r.rmp IS NULL THEN ls
+                      ELSE list_filter(ls, (x, i) ->
+                             len(list_filter(r.rmp, p -> p = i - 1))
+                             = 0)
+                 END AS kept,
+                 len(ls) AS n
+          FROM ld LEFT JOIN rm r USING (doc_id))
+        SELECT doc_id,
+               coalesce(array_to_string(kept, chr(10)), '')
+                   AS clean_text,
+               n - len(kept) AS n_removed_lines
+        FROM cut
     """
     # Gopher rule bundle (Rae et al. 2021 A1.1): replay every signal
     # from the same token/line recipes; the pass flag compares the

@@ -140,3 +140,56 @@ def test_fuzz_matches_python_model(spark):
             kept = [t for p, t in enumerate(ts) if p not in cov]
             want[d] = (" ".join(kept), len(ts) - len(kept))
         assert got == want, f"trial {trial}"
+
+
+def test_line_dedup_cuts_frequent_lines_keeps_bytes(spark):
+    """Lines recurring in > max_df docs vanish; survivors keep their
+    ORIGINAL bytes (case/spacing) and order; blank lines are
+    structure (uncounted, never removed)."""
+    from vision_parse_spark.operators.spans import remove_frequent_lines
+
+    boiler = "Subscribe To Our Newsletter"
+    docs = [(i, f"unique opening {i}\n  {boiler}  \n\nunique close {i}")
+            for i in range(5)]
+    docs.append((9, "Totally Unrelated\n\nDocument Nine"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_frequent_lines(df, max_df=3).collect()}
+    assert len(out) == 6
+    for i in range(5):
+        # boilerplate line (trim-matched despite padding) is gone,
+        # blank line and original casing/indent survive
+        assert out[i].clean_text == \
+            f"unique opening {i}\n\nunique close {i}"
+        assert out[i].n_removed_lines == 1
+    assert out[9].clean_text == "Totally Unrelated\n\nDocument Nine"
+    assert out[9].n_removed_lines == 0
+
+
+def test_line_dedup_repeated_line_within_one_doc_not_frequent(spark):
+    """Doc frequency is DISTINCT docs: a line repeated many times in
+    a single document is not corpus boilerplate."""
+    from vision_parse_spark.operators.spans import remove_frequent_lines
+
+    df = spark.createDataFrame(
+        [(0, "echo\n" * 10 + "tail"), (1, "other text")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_frequent_lines(df, max_df=3).collect()}
+    assert out[0].n_removed_lines == 0
+    assert out[0].clean_text == "echo\n" * 10 + "tail"
+
+
+def test_line_dedup_all_lines_removed(spark):
+    """A doc made entirely of boilerplate collapses to ''."""
+    from vision_parse_spark.operators.spans import remove_frequent_lines
+
+    docs = [(i, f"filler {i}\ncommon header\ncommon footer")
+            for i in range(5)]
+    docs.append((9, "common header\ncommon footer"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_frequent_lines(df, max_df=3).collect()}
+    assert out[9].clean_text == ""
+    assert out[9].n_removed_lines == 2
+    assert out[0].clean_text == "filler 0"

@@ -1,4 +1,5 @@
-"""Corpus-level frequent-span removal (repeated-substring dedup).
+"""Corpus-level frequent-span and frequent-line removal
+(repeated-substring / boilerplate dedup).
 
 Not present in the reference (it has no corpus-level ops).  This is
 the span-granularity complement to document-level dedup, after
@@ -30,6 +31,10 @@ The output text is re-joined from the normalized token stream
 (lower/trim/split ``\\s+`` — the same recipe as the dedup/shingle
 family), so ``clean_text`` is in normalized token space, not the raw
 input byte stream.
+
+:func:`remove_frequent_lines` is the same machinery at physical-line
+granularity (the CCNet / RefinedWeb line-dedup family): exact
+trimmed-line matching, original bytes preserved for survivors.
 """
 
 from __future__ import annotations
@@ -108,3 +113,61 @@ def frequent_spans(df: DataFrame, n: int = 3, max_df: int = 3,
                 .groupBy("gram")
                 .agg(F.countDistinct(id_col).alias("doc_freq"))
                 .filter(F.col("doc_freq") > max_df))
+
+
+def remove_frequent_lines(df: DataFrame, max_df: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text"
+                          ) -> DataFrame:
+    """Line-granularity boilerplate removal (the CCNet / RefinedWeb
+    line-dedup family): physical lines whose TRIMMED form recurs in
+    more than ``max_df`` distinct documents — nav chrome, cookie
+    banners, signatures, license headers — are deleted from every
+    document; all other lines keep their ORIGINAL bytes and order.
+
+    Complements :func:`remove_frequent_spans`: exact whole-line
+    matching instead of token n-grams, and the surviving text is the
+    raw input (original case/spacing/newlines), not the normalized
+    token stream.  Blank/whitespace-only lines are structure, never
+    boilerplate: they don't count toward doc frequency and are never
+    removed.
+
+    Returns ``(id_col, clean_text, n_removed_lines)``, one row per
+    input row.
+
+    Scale shape mirrors the span pass: ONE full-corpus shuffle (the
+    two-stage distinct aggregate for line doc-frequency); the
+    frequent-line set joins back to the line stream and only
+    matching rows re-aggregate into a per-doc removal list
+    (broadcast under AQE in the common small-boilerplate case); the
+    cut is a narrow higher-order filter over the split array —
+    zero Python, inside whole-stage codegen.
+    """
+    lines = (df.select(F.col(id_col),
+                       F.split(F.col(text_col), "\n").alias("_lines"))
+               .withColumn("_n", F.size("_lines")))
+    stream = (lines.select(
+        id_col,
+        F.posexplode("_lines").alias("pos", "line"))
+        .withColumn("key", F.trim("line"))
+        .filter(F.col("key") != ""))
+
+    frequent = (stream.groupBy("key")
+                .agg(F.countDistinct(id_col).alias("_df"))
+                .filter(F.col("_df") > max_df)
+                .select("key"))
+
+    removed = (stream.join(frequent, "key")
+               .groupBy(id_col)
+               .agg(F.collect_list("pos").alias("_rm")))
+
+    out = (lines.join(removed, id_col, "left")
+                .withColumn("_rm", F.coalesce(
+                    "_rm", F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, p: ~F.exists(F.col("_rm"), lambda r: r == p))
+    return (out.withColumn("_kept", kept)
+               .select(F.col(id_col),
+                       F.array_join("_kept", "\n").alias("clean_text"),
+                       (F.col("_n") - F.size("_kept"))
+                       .alias("n_removed_lines")))
