@@ -327,6 +327,19 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/
+    tail thirds by self-trained unigram LM score.  Cutoffs are
+    DISCRETE rank statistics (score of the ceil(n/3)/ceil(2n/3)-th
+    doc descending, ties to the better bucket) — actual data values,
+    never interpolated floats — so DuckDB replays the assignment
+    bit-identically."""
+    from vision_parse_spark.operators.corpus_stats import (
+        perplexity_buckets)
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 def _q_postings(spark, sf_dir):
     """Inverted-index build: (term, df, ctf, sorted doc_id:tf
     posting string).  One term shuffle after a map-side-combined
@@ -919,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "postings": _q_postings,
         "unigram_logprob": _q_unigram_logprob,
+        "ccnet_buckets": _q_ccnet_buckets,
         "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
@@ -1460,6 +1474,46 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_logprob
             FROM terms JOIN counts USING (term) CROSS JOIN stats
             GROUP BY doc_id
+        """,
+        # CCNet bucketing: the unigram-LM chain, then the DISCRETE
+        # rank cutoffs — cum doc count over the score histogram in
+        # score-descending order; c_k = largest score whose cumcount
+        # reaches ceil(kn/3), i.e. the score of the ceil(kn/3)-th doc
+        # descending (ties to the better bucket) — exactly the
+        # driver-side histogram walk in perplexity_buckets.
+        "ccnet_buckets": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents),
+            terms AS (SELECT doc_id, unnest(t) AS term FROM d),
+            counts AS (SELECT term, count(*) AS c
+                       FROM terms GROUP BY term),
+            stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                             count(*) AS v
+                      FROM counts),
+            scored AS (
+              SELECT doc_id, count(*) AS n_tok,
+                     round(avg(ln((c + 1.0) / (n_total + 1.0 * v))), 4)
+                         AS avg_logprob
+              FROM terms JOIN counts USING (term) CROSS JOIN stats
+              GROUP BY doc_id),
+            hist AS (SELECT avg_logprob AS s, count(*) AS hc
+                     FROM scored GROUP BY s),
+            cum AS (SELECT s, sum(hc) OVER (ORDER BY s DESC) AS cs
+                    FROM hist),
+            nn AS (SELECT count(*) AS n FROM scored),
+            cuts AS (SELECT
+                (SELECT max(s) FROM cum, nn
+                 WHERE cs >= ceil(n / 3.0)) AS c1,
+                (SELECT max(s) FROM cum, nn
+                 WHERE cs >= ceil(2 * n / 3.0)) AS c2)
+            SELECT doc_id, n_tok, avg_logprob,
+                   CASE WHEN avg_logprob >= c1 THEN 'head'
+                        WHEN avg_logprob >= c2 THEN 'middle'
+                        ELSE 'tail' END AS pp_bucket
+            FROM scored CROSS JOIN cuts
         """,
         "postings": r"""
             WITH d AS (

@@ -218,3 +218,64 @@ def test_unigram_logprob_orders_gibberish_below_common(spark):
     out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
     assert set(out) == {0, 1}
     assert out[0] > out[1]
+
+
+def test_perplexity_buckets_rank_cutoffs(spark):
+    """head/middle/tail match a direct python replay of the discrete
+    rank cutoffs (ceil(n/3) / ceil(2n/3) in score-descending order,
+    ties to the better bucket) on real test data."""
+    import math
+    from collections import Counter
+
+    from vision_parse_spark.operators.corpus_stats import (
+        perplexity_buckets, unigram_logprob)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r.pp_bucket
+           for r in perplexity_buckets(docs).collect()}
+
+    scores = {r.doc_id: r.avg_logprob
+              for r in unigram_logprob(docs).collect()}
+    assert set(got) == set(scores)
+    n = len(scores)
+    ordered = sorted(scores.values(), reverse=True)
+    c1 = ordered[math.ceil(n / 3) - 1]
+    c2 = ordered[math.ceil(2 * n / 3) - 1]
+    for d, s in scores.items():
+        want = "head" if s >= c1 else ("middle" if s >= c2 else "tail")
+        assert got[d] == want, (d, s, c1, c2)
+    sizes = Counter(got.values())
+    # rank cutoffs keep buckets within tie-slack of n/3 each
+    assert sizes["head"] >= math.ceil(n / 3)
+    assert sizes["head"] + sizes["middle"] >= math.ceil(2 * n / 3)
+    assert sizes["tail"] >= 1
+
+
+def test_perplexity_buckets_ties_take_better_bucket(spark):
+    """All docs sharing the cutoff score land in the better bucket;
+    an all-identical corpus is entirely head."""
+    import pandas as pd
+
+    from vision_parse_spark.operators.corpus_stats import (
+        perplexity_buckets)
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["same words here"] * 6,
+    }))
+    out = {r.doc_id: r.pp_bucket for r in perplexity_buckets(df).collect()}
+    assert set(out.values()) == {"head"}
+
+    # 2 good docs, 4 gibberish: the gibberish shares one score -> the
+    # ceil(6/3)=2nd doc descending is still a good doc (c1 = good
+    # score), the 4th is gibberish (c2 = gibberish score) -> ALL
+    # gibberish is middle, nothing tail
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["the cat sat", "the cat sat",
+                 "zxqv1 a1", "zxqv2 a2", "zxqv3 a3", "zxqv4 a4"],
+    }))
+    out2 = {r.doc_id: r.pp_bucket
+            for r in perplexity_buckets(df2).collect()}
+    assert out2[0] == "head" and out2[1] == "head"
+    assert all(out2[d] == "middle" for d in range(2, 6))

@@ -174,3 +174,61 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", alpha: float = 1.0
+                       ) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    every document lands in a ``head`` / ``middle`` / ``tail`` bucket
+    by LM quality — CCNet keeps head+middle for pretraining and
+    shards the corpus by bucket.  The LM is the self-trained add-one
+    unigram model from :func:`unigram_logprob` (CCNet uses an
+    external KenLM; the self-trained signal ranks the same outliers
+    and needs no model artifact), so HIGHER ``avg_logprob`` = lower
+    perplexity = better bucket.
+
+    Cutoffs are DISCRETE rank statistics, not interpolated
+    percentiles: with ``n`` scored docs sorted by score descending,
+    ``c1`` is the score of the ``ceil(n/3)``-th doc and ``c2`` of the
+    ``ceil(2n/3)``-th; ``head`` = score >= c1, ``middle`` = score >=
+    c2, else ``tail``.  Ties at a cutoff all take the better bucket.
+    Interpolated cutoffs would be engine-specific float arithmetic
+    deciding set membership — the repo-wide determinism rule; rank
+    cutoffs are actual (4-decimal-rounded) data values, so the
+    assignment replays bit-identically on any engine.
+
+    Scale shape (100 TB): the scored relation is the unigram
+    two-pass LM (one full shuffle), checkpointed; the cutoffs come
+    from a score HISTOGRAM — a map-side-combined groupBy on the
+    4-decimal-rounded score, a bounded key (the score range spans a
+    few thousand distinct values) — collected to the driver and
+    folded back as two literals; the bucket label is then one
+    narrow whole-stage-codegen Project.  No global sort, no window
+    over the corpus.
+
+    Returns ``(id_col, n_tok, avg_logprob, pp_bucket)``, one row per
+    doc with >= 1 token (token-less docs have no LM score — same
+    grain as :func:`unigram_logprob`).
+    """
+    import math
+
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col,
+                             alpha=alpha).localCheckpoint(eager=True)
+    hist = (scored.groupBy("avg_logprob")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .orderBy(F.desc("avg_logprob"))
+                  .collect())
+    n = sum(r.c for r in hist)
+    k1, k2 = math.ceil(n / 3), math.ceil(2 * n / 3)
+    cum, c1, c2 = 0, None, None
+    for r in hist:
+        cum += r.c
+        if c1 is None and cum >= k1:
+            c1 = r.avg_logprob
+        if c2 is None and cum >= k2:
+            c2 = r.avg_logprob
+    bucket = (F.when(F.col("avg_logprob") >= F.lit(c1), "head")
+               .when(F.col("avg_logprob") >= F.lit(c2), "middle")
+               .otherwise("tail"))
+    return scored.withColumn("pp_bucket", bucket)
