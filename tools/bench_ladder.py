@@ -30,9 +30,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/vps_ladder"
 SCALES = (1, 4, 8)
-TABLES = {"documents": ("doc_id",), "embeddings": ("doc_id",),
+TABLES = {"documents": ("doc_id",), "embeddings": ("vec_id",),
           "events": ("event_id", "user_id")}
-OFFSET = {"doc_id": 10**9, "event_id": 10**9, "user_id": 10**6}
+# vec_id shares doc_id's offset so doc<->embedding joins stay aligned
+OFFSET = {"doc_id": 10**9, "vec_id": 10**9,
+          "event_id": 10**9, "user_id": 10**6}
 
 NEW_OPS = ["asof_attribution", "bm25", "gopher_signals", "dsir_weights",
            "line_dedup", "span_dedup", "curate_full"]
