@@ -327,6 +327,18 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _q_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): per
+    window of w=4 consecutive k=3-gram hashes keep the min; the
+    selected (pos, hash) pairs localise shared runs between docs —
+    the position-aware complement of MinHash.  Pure per-row Catalyst
+    HOFs, zero shuffle; md5 hash construction so DuckDB replays the
+    selection exactly."""
+    from vision_parse_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/
     tail thirds by self-trained unigram LM score.  Cutoffs are
@@ -933,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "unigram_logprob": _q_unigram_logprob,
         "ccnet_buckets": _q_ccnet_buckets,
+        "winnow_fps": _q_winnow_fps,
         "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
@@ -1474,6 +1487,47 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_logprob
             FROM terms JOIN counts USING (term) CROSS JOIN stats
             GROUP BY doc_id
+        """,
+        # Winnowing: replay gram construction (shared ws recipe),
+        # md5 hashes, per-window minima and the max-of-covering-
+        # window-minima selection rule with DuckDB's 1-based
+        # inclusive list slices (l[a:b] = 0-based a-1 .. b-1).
+        "winnow_fps": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(len(t) - 2),
+                                 i -> array_to_string(t[i + 1:i + 3],
+                                                      ' '))
+                          ELSE [] END AS grams
+              FROM d),
+            h AS (
+              SELECT doc_id,
+                     list_transform(grams, x ->
+                       CAST(('0x' || substring(md5(x), 1, 15))
+                            AS BIGINT)) AS hv,
+                     least(4, len(grams)) AS we
+              FROM g WHERE len(grams) > 0),
+            m AS (
+              SELECT doc_id, hv, we,
+                     list_transform(range(len(hv) - we + 1),
+                       s -> list_min(hv[s + 1:s + we])) AS wm
+              FROM h),
+            sel AS (
+              SELECT doc_id, hv,
+                     list_filter(range(len(hv)), i ->
+                       hv[i + 1] = list_max(
+                         wm[greatest(0, i - we + 1) + 1
+                            : least(i, len(hv) - we) + 1])) AS sp
+              FROM m)
+            SELECT doc_id, CAST(u.i AS INT) AS pos,
+                   hv[u.i + 1] AS fingerprint
+            FROM sel, unnest(sp) AS u(i)
         """,
         # CCNet bucketing: the unigram-LM chain, then the DISCRETE
         # rank cutoffs — cum doc count over the score histogram in

@@ -357,3 +357,88 @@ def test_simhash_near_dups_rejects_wide_hamming(spark, docs):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dups(docs, max_hamming=13)
+
+
+def _winnow_py(text, k=3, w=4):
+    """Direct python model of Schleimer et al. winnowing with the
+    max-of-covering-window-minima selection rule."""
+    import hashlib
+    import re
+
+    ts = [t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                              (text or "").strip().lower()) if t]
+    grams = ([" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
+             if len(ts) >= k else [])
+    h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+         for g in grams]
+    n = len(h)
+    if n == 0:
+        return set()
+    we = min(w, n)
+    m = [min(h[s:s + we]) for s in range(n - we + 1)]
+    sel = set()
+    for i in range(n):
+        lo, hi = max(0, i - we + 1), min(i, n - we)
+        if max(m[lo:hi + 1]) == h[i]:
+            sel.add((i, h[i]))
+    return sel
+
+
+def test_winnow_matches_python_model_on_real_docs(spark):
+    """Selected (pos, fingerprint) sets equal the python model on
+    real test data; density is in the expected 2/(w+1) band."""
+    from vision_parse_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fingerprint))
+    texts = dict(docs.select("doc_id", "text").collect())
+    want = {d: _winnow_py(t) for d, t in texts.items()}
+    want = {d: s for d, s in want.items() if s}
+    assert got == want
+    n_sel = sum(len(s) for s in got.values())
+    n_grams = sum(
+        max(0, len([t for t in (texts[d] or "").lower().split() if t]) - 2)
+        for d in got)
+    # expected density 2/(w+1) = 0.4 at w=4; generous band
+    assert 0.25 <= n_sel / n_grams <= 0.6
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any two docs sharing a run of w + k - 1 tokens share at least
+    one fingerprint VALUE (the paper's detection guarantee)."""
+    from vision_parse_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1
+    df = spark.createDataFrame(
+        [(0, f"unrelated prefix words {shared} some suffix"),
+         (1, f"{shared} totally different continuation here"),
+         (2, "no overlap with anything at all present")],
+        ["doc_id", "text"])
+    by_doc = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    """< k tokens -> no grams -> absent; >= k but < w + k - 1 grams
+    -> the truncated window still yields >= 1 fingerprint."""
+    from vision_parse_spark.operators.dedup import winnow_fingerprints
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one two"), (2, "one two three"),
+         (3, "one two three four")],
+        ["doc_id", "text"])
+    out = {}
+    for r in winnow_fingerprints(df).collect():
+        out.setdefault(r.doc_id, set()).add((r.pos, r.fingerprint))
+    assert set(out) == {2, 3}
+    assert len(out[2]) == 1 and next(iter(out[2]))[0] == 0
+    assert out[3] == _winnow_py("one two three four")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)

@@ -748,3 +748,68 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each window of ``w``
+    consecutive ``k``-gram hashes, keep the minimum; the union of the
+    selected (position, hash) pairs is the fingerprint set.  It
+    guarantees any shared run of ``w + k - 1`` tokens between two
+    docs shares at least one fingerprint, at an expected density of
+    ``2/(w+1)`` — the position-aware complement of MinHash (which
+    sketches GLOBAL similarity and cannot localise the overlap).
+
+    A position ``i`` is selected iff its hash is the minimum of at
+    least one complete window containing it, computed as
+    ``max_s(window_min[s]) == h[i]`` over the windows covering ``i``
+    — equivalent because ``window_min[s] <= h[i]`` for every such
+    window.  With fewer than ``w`` grams the single truncated window
+    covers the doc (every doc with >= 1 gram yields >= 1
+    fingerprint, the paper's guarantee).  Hash ties select every
+    tied position — deterministic, and unobservable in practice with
+    60-bit md5-derived hashes.
+
+    Tokens/grams use the shared :func:`ws_tokens_sql` recipe; the
+    hash is the engine-portable md5 construction, so DuckDB replays
+    the whole selection.
+
+    Scale shape (100 TB): entirely per-row Catalyst higher-order
+    functions inside whole-stage codegen — zero shuffle, zero
+    Python; O(n_grams * w) work per doc.  The output explode is the
+    only row growth (~``2/(w+1)`` of the gram count).
+
+    Returns ``(id_col, pos, fingerprint)`` — one row per selected
+    gram position.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k and w must be >= 1 "
+                         f"(got k={k}, w={w})")
+    toks = ws_tokens_sql(text_col)
+    grams = (f"case when size({toks}) >= {k} then "
+             f"transform(sequence(0, size({toks}) - {k}), "
+             f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) "
+             f"else array() end")
+    out = (df.select(F.col(id_col), F.expr(grams).alias("_g"))
+             .filter(F.size("_g") > 0)
+             .withColumn("_h", F.expr(
+                 "transform(_g, g -> cast(conv(substring(md5(g), 1, 15),"
+                 " 16, 10) as bigint))"))
+             .withColumn("_we", F.least(F.lit(w), F.size("_h")))
+             # window minima: m[s] = min(h[s .. s + we - 1])
+             .withColumn("_m", F.expr(
+                 "transform(sequence(0, size(_h) - _we), "
+                 "s -> array_min(slice(_h, s + 1, _we)))"))
+             # i selected iff some covering window's min equals h[i]
+             .withColumn("_sel", F.expr(
+                 "filter(sequence(0, size(_h) - 1), i -> "
+                 "element_at(_h, i + 1) = array_max(slice(_m, "
+                 "greatest(0, i - _we + 1) + 1, "
+                 "least(i, size(_h) - _we) - greatest(0, i - _we + 1)"
+                 " + 1)))")))
+    fps = ("transform(_sel, i -> struct(cast(i as int) as pos, "
+           "element_at(_h, i + 1) as fingerprint))")
+    return (out.select(F.col(id_col), F.explode(F.expr(fps)).alias("_f"))
+               .select(id_col, "_f.pos", "_f.fingerprint"))
