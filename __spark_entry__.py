@@ -339,6 +339,27 @@ def _q_winnow_fps(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM score (Jelinek-Mercer, lam=0.75 exact
+    binary): catches word-order stuffing the unigram model cannot.
+    Two count aggs train; the score pass joins broadcast counts;
+    round-4 output per the unigram ulp analysis."""
+    from vision_parse_spark.operators.corpus_stats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich et al. 2016): the
+    corpus collapses once to a (word, count) vocab; each round is a
+    bounded-key pair census + one-row argmax + narrow fold rewrite.
+    12 merges — enough to exercise multi-char chain merges on the
+    documents table while keeping the replay oracle tractable."""
+    from vision_parse_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=12)
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/
     tail thirds by self-trained unigram LM score.  Cutoffs are
@@ -946,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "ccnet_buckets": _q_ccnet_buckets,
         "winnow_fps": _q_winnow_fps,
+        "bigram_logprob": _q_bigram_logprob,
+        "bpe_merges": _q_bpe_merges,
         "bm25": _q_bm25,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_incremental": _q_minhash_incremental,
@@ -1085,6 +1108,64 @@ def oracle_sql() -> dict[str, str]:
                 f" AS cent FROM c{t} p LEFT JOIN u{t} u USING (cid))")
         ctes.append(assign(iters))
         return ",\n".join(ctes)
+
+    # BPE oracle: replay every merge round as CTEs — weighted pair
+    # census with the (freq DESC, pair lex) tie-break, then the
+    # greedy left-to-right apply via gaps-and-islands parity (a run
+    # of consecutive (a,b) matches merges its 1st/3rd/... — exactly
+    # the Spark fold's semantics, see operators/bpe.py docstring).
+    def _bpe_ctes(n: int) -> str:
+        ctes = [r"""w0 AS MATERIALIZED (
+          SELECT word, count(*) AS cnt,
+                 list_transform(range(length(word)),
+                   i -> substring(word, i + 1, 1)) AS syms
+          FROM (SELECT unnest(list_filter(string_split_regex(
+                  lower(trim(text)), '\s+'), x -> x != '')) AS word
+                FROM documents)
+          GROUP BY word)"""]
+        for t in range(n):
+            ctes.append(f"""p{t} AS MATERIALIZED (
+              SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+                SELECT cnt, syms[j + 1] AS l, syms[j + 2] AS r
+                FROM w{t}, unnest(range(len(syms) - 1)) AS u(j)
+                WHERE len(syms) >= 2)
+              GROUP BY l, r HAVING sum(cnt) >= 2)""")
+            ctes.append(f"m{t} AS MATERIALIZED (SELECT l, r, freq FROM p{t} "
+                        f"ORDER BY freq DESC, l, r LIMIT 1)")
+            ctes.append(f"""e{t} AS MATERIALIZED (
+              SELECT word, cnt, u.j AS pos, syms[u.j + 1] AS sym,
+                     CASE WHEN u.j + 2 <= len(syms)
+                          THEN syms[u.j + 2] END AS nxt
+              FROM w{t}, unnest(range(len(syms))) AS u(j))""")
+            ctes.append(f"""mk{t} AS MATERIALIZED (
+              SELECT e.*, coalesce(e.sym = m.l AND e.nxt = m.r,
+                                   FALSE) AS mt
+              FROM e{t} e CROSS JOIN m{t} m)""")
+            ctes.append(f"""is{t} AS MATERIALIZED (
+              SELECT *, CASE WHEN mt THEN pos - ROW_NUMBER() OVER (
+                PARTITION BY word, mt ORDER BY pos) END AS grp
+              FROM mk{t})""")
+            ctes.append(f"""pr{t} AS MATERIALIZED (
+              SELECT *, CASE WHEN mt THEN (pos - min(pos) OVER (
+                PARTITION BY word, grp)) % 2 = 0
+                ELSE FALSE END AS mg
+              FROM is{t})""")
+            ctes.append(f"""fi{t} AS MATERIALIZED (
+              SELECT *, coalesce(lag(mg) OVER (
+                PARTITION BY word ORDER BY pos), FALSE) AS consumed
+              FROM pr{t})""")
+            ctes.append(f"""w{t + 1} AS MATERIALIZED (
+              SELECT word, any_value(cnt) AS cnt,
+                     list(CASE WHEN mg THEN sym || nxt ELSE sym END
+                          ORDER BY pos) AS syms
+              FROM fi{t} WHERE NOT consumed GROUP BY word)""")
+        return ",\n".join(ctes)
+
+    bpe_union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, l AS left_sym, r AS right_sym, freq "
+        f"FROM m{t}" for t in range(12))
+    bpe_sql = ("WITH " + _bpe_ctes(12)
+               + f"\nSELECT * FROM ({bpe_union})")
 
     kmeans_sql = (
         "WITH " + _kmeans_ctes(8, 2)
@@ -1487,6 +1568,59 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_logprob
             FROM terms JOIN counts USING (term) CROSS JOIN stats
             GROUP BY doc_id
+        """,
+        # Interpolated bigram LM: unigram + bigram count relations,
+        # then the per-token Jelinek-Mercer mix — first token pure
+        # add-1 unigram, later tokens 0.75 * c(p,w)/c(p) + 0.25 *
+        # P_u(w).  Same IEEE ops in the same shape as the Spark
+        # expression, so only ln's last ulp can differ (round-4).
+        "bigram_logprob": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                 '\s+'), x -> x != '') AS t
+              FROM documents
+              WHERE len(list_filter(string_split_regex(
+                        lower(trim(text)), '\s+'), x -> x != '')) > 0),
+            uni AS (
+              SELECT term, count(*) AS c
+              FROM (SELECT unnest(t) AS term FROM d) GROUP BY term),
+            stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                             count(*) AS v
+                      FROM uni),
+            big AS (
+              SELECT prev, cur, count(*) AS cb
+              FROM (SELECT unnest(list_transform(
+                             range(1, len(t)),
+                             i -> {'prev': t[i], 'cur': t[i + 1]}),
+                           recursive := true)
+                    FROM d WHERE len(t) >= 2)
+              GROUP BY prev, cur),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(t)),
+                       i -> {'cur': t[i + 1],
+                             'prev': CASE WHEN i = 0 THEN NULL
+                                          ELSE t[i] END}),
+                       recursive := true)
+              FROM d),
+            scored AS (
+              SELECT tok.doc_id,
+                     CASE WHEN tok.prev IS NULL
+                          THEN ln((uc.c + 1.0) / (n_total + 1.0 * v))
+                          ELSE ln(0.75 * coalesce(bg.cb, 0) / up.c
+                                  + 0.25 * ((uc.c + 1.0)
+                                            / (n_total + 1.0 * v)))
+                     END AS lp
+              FROM tok
+              JOIN uni uc ON uc.term = tok.cur
+              LEFT JOIN uni up ON up.term = tok.prev
+              LEFT JOIN big bg ON bg.prev = tok.prev
+                              AND bg.cur = tok.cur
+              CROSS JOIN stats)
+            SELECT doc_id, count(*) AS n_tok,
+                   round(avg(lp), 4) AS avg_logprob
+            FROM scored GROUP BY doc_id
         """,
         # Winnowing: replay gram construction (shared ws recipe),
         # md5 hashes, per-window minima and the max-of-covering-
@@ -1929,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.3
         """,
         "kmeans_assign": kmeans_sql,
+        "bpe_merges": bpe_sql,
         "semdedup": semdedup_sql,
         "embedding_dup_clusters": f"""
             WITH RECURSIVE b AS (

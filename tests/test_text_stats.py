@@ -279,3 +279,61 @@ def test_perplexity_buckets_ties_take_better_bucket(spark):
             for r in perplexity_buckets(df2).collect()}
     assert out2[0] == "head" and out2[1] == "head"
     assert all(out2[d] == "middle" for d in range(2, 6))
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Interpolated bigram log-likelihood equals a direct python
+    computation on real test data."""
+    import math
+    import re
+    from collections import Counter
+
+    from vision_parse_spark.operators.corpus_stats import bigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: (r.n_tok, r.avg_logprob)
+           for r in bigram_logprob(docs).collect()}
+
+    toks, uni, big = {}, Counter(), Counter()
+    for doc_id, text in docs.select("doc_id", "text").collect():
+        ts = [t for t in re.split(r"[ \t\n\x0b\f\r]+",
+                                  (text or "").strip().lower()) if t]
+        toks[doc_id] = ts
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    n_total, v = sum(uni.values()), len(uni)
+    want = {}
+    for doc_id, ts in toks.items():
+        if not ts:
+            continue
+        lps = [math.log((uni[ts[0]] + 1.0) / (n_total + 1.0 * v))]
+        for p, w in zip(ts, ts[1:]):
+            pu = (uni[w] + 1.0) / (n_total + 1.0 * v)
+            lps.append(math.log(0.75 * big[(p, w)] / uni[p] + 0.25 * pu))
+        want[doc_id] = (len(ts), round(sum(lps) / len(lps), 4))
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-4
+
+
+def test_bigram_logprob_catches_order_stuffing(spark):
+    """Word-order stuffing that a unigram model cannot see: a doc of
+    corpus-frequent words in never-seen order scores clearly below a
+    natural doc under the bigram model, while the unigram model
+    scores them nearly identically."""
+    import pandas as pd
+
+    from vision_parse_spark.operators.corpus_stats import (
+        bigram_logprob, unigram_logprob)
+
+    natural = "the cat sat on the mat"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [natural, natural, natural,
+                 "mat the on sat cat the"],  # same bag, alien order
+    }))
+    bi = {r.doc_id: r.avg_logprob for r in bigram_logprob(df).collect()}
+    un = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert abs(un[0] - un[3]) < 0.01       # unigram: same bag, same score
+    assert bi[0] - bi[3] > 0.5             # bigram: alien order collapses

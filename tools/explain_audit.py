@@ -263,6 +263,74 @@ def main():
         grab(dw),
     ))
 
+    from vision_parse_spark.operators.spans import remove_frequent_lines
+
+    ld = remove_frequent_lines(docs.select("doc_id", "text"), max_df=3)
+    sections.append((
+        "Line-level boilerplate removal (line_dedup)",
+        "round 6, CCNet/RefinedWeb family.  Same shape as span_dedup: "
+        "ONE full-corpus exchange (the two-stage distinct agg for "
+        "trimmed-line doc frequency); the frequent-line set and the "
+        "per-doc removal lists come back as joins proportional to "
+        "boilerplate hits (broadcast under AQE in the common case); "
+        "the cut itself is a codegen'd higher-order filter over the "
+        "split array — no Python anywhere in the plan.",
+        grab(ld),
+    ))
+
+    from vision_parse_spark.operators.dedup import winnow_fingerprints
+
+    wf = winnow_fingerprints(docs.select("doc_id", "text"))
+    sections.append((
+        "Winnowing fingerprints (winnow_fps)",
+        "round 6, Schleimer et al. 2003.  The whole selection — gram "
+        "build, md5 hashes, window minima, max-of-covering-minima "
+        "filter, explode — is per-row Catalyst HOFs: the plan below "
+        "is scan -> Project -> Generate with ZERO Exchange; "
+        "parallelism comes from input splits alone, so the operator "
+        "scales embarrassingly.",
+        grab(wf),
+    ))
+
+    from vision_parse_spark.operators.corpus_stats import bigram_logprob
+
+    bl = bigram_logprob(docs)
+    sections.append((
+        "Interpolated bigram LM scoring (bigram_logprob) + "
+        "CCNet buckets (ccnet_buckets)",
+        "round 6.  bigram_logprob (below): two map-side-combined "
+        "count aggs train the LM; the score pass re-explodes (prev, "
+        "cur) pairs and the plan shows THREE BroadcastHashJoins onto "
+        "the count relations — the corpus side never shuffles until "
+        "the final per-doc aggregation.  ccnet_buckets reuses the "
+        "unigram plan plus a bounded-key score histogram (cutoffs "
+        "fold back as driver literals; the bucket label is a narrow "
+        "Project), so its plan is the unigram section's plus one "
+        "control-plane agg — not separately dumped.",
+        grab(bl),
+    ))
+
+    from vision_parse_spark.operators.bpe import bpe_apply, bpe_merges
+
+    ba = bpe_apply(docs.select("doc_id", "text"),
+                   [("e", "r"), ("o", "r"), ("i", "n")])
+    sections.append((
+        "BPE merge learning (bpe_merges) + encoder (bpe_apply)",
+        "round 6, Sennrich et al. 2016.  bpe_merges is a "
+        "control-plane loop (the Lloyd's-iteration shape): the "
+        "corpus collapses ONCE to a checkpointed (word, cnt, syms) "
+        "vocab — the only corpus-sized shuffle — then each round is "
+        "a pair census whose agg runs on the BOUNDED symbol-pair "
+        "key space (map-side combine; exchange rows = distinct "
+        "pairs, not words), a 1-row TakeOrderedAndProject argmax to "
+        "the driver, and a NARROW codegen'd aggregate-fold rewrite "
+        "of the symbol arrays (no shuffle), re-checkpointed so "
+        "lineage never nests.  The plan below is bpe_apply on real "
+        "docs with 3 learned merges: one Project of nested folds — "
+        "ZERO Exchange, parallelism from input splits alone.",
+        grab(ba),
+    ))
+
     from vision_parse_spark.operators.corpus_stats import build_postings
 
     po = build_postings(docs, min_df=2)

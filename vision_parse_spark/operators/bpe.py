@@ -1,0 +1,128 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016) — tokenizer
+vocabulary induction over a corpus.
+
+Not present in the reference (it has no corpus-level ops): learning
+the merge table is the canonical tokenizer-training step of an LLM
+data pipeline, and its Spark shape is a textbook control-plane loop
+(like Lloyd's in ``clustering.py``): the corpus collapses once to a
+``(word, count)`` vocabulary relation, then every merge round is
+
+  1. a weighted symbol-pair count — explode adjacent pairs, map-side
+     combined agg on the BOUNDED pair key space;
+  2. a global argmax via ``TakeOrderedAndProject`` (one row to the
+     driver — control plane, never the data);
+  3. a NARROW merge-apply pass: one codegen'd ``aggregate`` fold per
+     word rewriting the symbol array left-to-right (no explode, no
+     shuffle), checkpointed so the lineage never nests.
+
+Greedy left-to-right pairing semantics (the reference BPE): within a
+chain of consecutive matches of ``(a, b)``, the 1st, 3rd, ... merge
+and the even ones are consumed.  The fold implements this by
+comparing the accumulator's LAST symbol; a fresh merge output
+``a||b`` can never equal ``a`` (``b`` is non-empty), so a merged
+symbol never chain-merges again within the same round — exactly the
+parity rule, which is what the DuckDB oracle replays via
+gaps-and-islands.
+
+Ties on pair frequency break on the pair's lexicographic order —
+deterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, functions as F
+
+from vision_parse_spark.functions.text_stats import ws_tokens
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> (word, cnt, syms) with syms the per-character symbol
+    array.  The ONLY corpus-sized shuffle in the whole computation."""
+    # per-char split via explicit substring transform — identical
+    # construction on any engine (empty-pattern split() semantics
+    # vary across engines/versions)
+    return (df.select(F.explode(ws_tokens(text_col)).alias("word"))
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("syms", F.expr(
+                  "transform(sequence(1, length(word)), "
+                  "i -> substring(word, i, 1))")))
+
+
+def _merge_fold_expr(a: str, b: str) -> str:
+    """Left-to-right greedy apply of merge (a, b) over the symbol
+    array as one Catalyst ``aggregate`` fold."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        f"case when size(acc) > 0 and element_at(acc, -1) = '{qa}' "
+        f"and x = '{qb}' then concat(slice(acc, 1, size(acc) - 1), "
+        f"array('{qa}{qb}')) else concat(acc, array(x)) end)"
+    )
+
+
+def bpe_merges(df: DataFrame, n_merges: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+
+    Returns a DataFrame ``(rank, left_sym, right_sym, freq)`` — merge rank
+    (0-based), the merged symbol pair, and its weighted frequency at
+    selection time.  Stops early (fewer rows) when no pair occurs
+    twice.
+
+    Words come from the shared :func:`ws_tokens` recipe and weigh
+    by corpus frequency; symbols start as single characters (no
+    end-of-word marker — the in-word merge table is the didactic
+    core; markers are a caller-side symbol transform).
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_merges: n_merges must be >= 1 "
+                         f"(got {n_merges})")
+    spark = df.sparkSession
+    vocab = _word_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[Row] = []
+    for rank in range(n_merges):
+        pairs = (vocab.filter(F.size("syms") >= 2)
+                      .select("cnt", F.explode(F.expr(
+                          "transform(sequence(1, size(syms) - 1), "
+                          "i -> struct(element_at(syms, i) as l, "
+                          "element_at(syms, i + 1) as r))")).alias("p"))
+                      .groupBy(F.col("p.l").alias("l"),
+                               F.col("p.r").alias("r"))
+                      .agg(F.sum("cnt").alias("freq")))
+        top = (pairs.filter(F.col("freq") >= 2)
+                    .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+                    .limit(1).collect())
+        if not top:
+            break
+        a, b, freq = top[0].l, top[0].r, top[0].freq
+        merges.append(Row(rank=rank, left_sym=a, right_sym=b,
+                          freq=int(freq)))
+        vocab = (vocab.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
+                      .localCheckpoint(eager=True))
+    schema = "rank int, left_sym string, right_sym string, freq bigint"
+    return spark.createDataFrame(merges, schema=schema)
+
+
+def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text",
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Segment every word of ``text_col`` with a learned merge list
+    (applied in rank order — the standard BPE encoder) and flatten
+    the per-word pieces in word order into ``out_col``.  Entirely
+    narrow Catalyst: nested folds inside one Project, no shuffle."""
+    from vision_parse_spark.functions.text_stats import ws_tokens_sql
+
+    inner = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    for a, b in merges:
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        inner = (
+            f"aggregate({inner}, cast(array() as array<string>), "
+            f"(acc, x) -> case when size(acc) > 0 and "
+            f"element_at(acc, -1) = '{qa}' and x = '{qb}' then "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+            f"else concat(acc, array(x)) end)"
+        )
+    expr = (f"flatten(transform({ws_tokens_sql(text_col)}, "
+            f"w -> {inner}))")
+    return df.withColumn(out_col, F.expr(expr))

@@ -232,3 +232,85 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                .when(F.col("avg_logprob") >= F.lit(c2), "middle")
                .otherwise("tail"))
     return scored.withColumn("pp_bucket", bucket)
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", alpha: float = 1.0,
+                   lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram LM log-likelihood per document — one rung
+    up from :func:`unigram_logprob` toward the KenLM scoring CCNet
+    uses: repeated-phrase stuffing that fools a unigram model (all
+    high-frequency words) still scores low when its word ORDER never
+    occurs in the corpus.
+
+    Per token: the first token scores the add-``alpha`` unigram
+    ``P_u(w) = (c_w + a) / (N + aV)``; every later token scores the
+    Jelinek-Mercer interpolation
+    ``ln(lam * c(p,w)/c(p) + (1-lam) * P_u(w))`` with the MLE
+    conditional over corpus bigram counts (``c(p)`` is the corpus
+    unigram count of the context — its count as a "previous token"
+    differs only by each doc's final token; the unigram form keeps
+    the model one count relation smaller) and the unigram as the
+    unseen-bigram floor.  ``lam`` defaults to 0.75 — an EXACT BINARY
+    fraction, so the interpolation arithmetic is bit-identical
+    across engines (the resample_mixture precedent); only ``ln``
+    differs in the last ulp, bounded exactly as unigram_logprob's
+    docstring analyses.  Scores round to 4 decimals.
+
+    Scale shape (100 TB): TRAIN = two map-side-combined count aggs
+    (unigram + bigram; the bigram relation is the big one — for a
+    web-scale corpus shard the score join instead of broadcasting);
+    SCORE = one re-scan exploding (prev, cur) pairs joined against
+    the broadcast counts; (N, V) fold in as driver literals off the
+    checkpointed unigram counts.  Each doc's pair rows stay in one
+    map partition (explode of one row, broadcast joins), so the
+    per-doc avg is one partial — no merge-order float drift.
+
+    Returns ``(id_col, n_tok, avg_logprob)`` for docs with >= 1
+    token.
+    """
+    toks = ws_tokens(text_col)
+    base = (df.select(F.col(id_col), toks.alias("_t"))
+              .filter(F.size("_t") > 0))
+
+    uni = (base.select(F.explode("_t").alias("term"))
+               .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+               .localCheckpoint(eager=True))
+    n_total, v = uni.agg(F.sum("c"), F.count(F.lit(1))).first()
+    if n_total is None:
+        raise ValueError(
+            "bigram_logprob: empty corpus (no tokens after the "
+            "ws_tokens normalization) — nothing to train the LM on")
+
+    pairs_expr = ("transform(sequence(1, size(_t) - 1), "
+                  "i -> struct(element_at(_t, i) as prev, "
+                  "element_at(_t, i + 1) as cur))")
+    big = (base.filter(F.size("_t") >= 2)
+               .select(F.explode(F.expr(pairs_expr)).alias("_p"))
+               .groupBy(F.col("_p.prev").alias("prev"),
+                        F.col("_p.cur").alias("cur"))
+               .agg(F.count(F.lit(1)).alias("cb")))
+
+    tok_expr = ("transform(sequence(0, size(_t) - 1), "
+                "i -> struct(element_at(_t, i + 1) as cur, "
+                "case when i = 0 then null else element_at(_t, i) end"
+                " as prev))")
+    stream = (base.select(F.col(id_col),
+                          F.explode(F.expr(tok_expr)).alias("_w"))
+                  .select(id_col, "_w.cur", "_w.prev"))
+
+    denom = F.lit(float(n_total)) + F.lit(alpha) * F.lit(float(v))
+    scored = (stream
+              .join(F.broadcast(uni.withColumnRenamed("term", "cur")
+                                   .withColumnRenamed("c", "c_cur")), "cur")
+              .join(F.broadcast(uni.withColumnRenamed("term", "prev")
+                                   .withColumnRenamed("c", "c_prev")),
+                    "prev", "left")
+              .join(F.broadcast(big), ["prev", "cur"], "left"))
+    p_uni = (F.col("c_cur") + F.lit(alpha)) / denom
+    lp = F.when(F.col("prev").isNull(), F.log(p_uni)).otherwise(
+        F.log(F.lit(lam) * F.coalesce(F.col("cb"), F.lit(0))
+              / F.col("c_prev") + F.lit(1.0 - lam) * p_uni))
+    return (scored.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_tok"),
+                       F.round(F.avg(lp), 4).alias("avg_logprob")))
