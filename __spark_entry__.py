@@ -496,6 +496,44 @@ def _q_line_dedup(spark, sf_dir):
     return remove_frequent_lines(d, max_df=3)
 
 
+# The documents table is unpunctuated single-line word soup, on
+# which every C4 rule is trivially degenerate (0 lines kept for all
+# docs).  The contract query derives a deterministic punctuated
+# multi-line page per doc — sentence breaks at fixed word
+# boundaries, doc_id-keyed javascript / lorem-ipsum / curly-bracket
+# injections — so every rule actually fires and the gate splits the
+# table.  chr(10) (not a '\n' literal) because DuckDB strings do not
+# process backslash escapes while Spark SQL strings do; the
+# expression below is otherwise byte-identical in both engines.
+_C4_PAGE_EXPR = (
+    "concat("
+    "replace(replace(text, ' merge ', concat('.', chr(10))), "
+    "' data ', concat('?', chr(10))), "
+    "case when doc_id % 4 = 0 then concat(chr(10), "
+    "'Please enable javascript now.') else '' end, "
+    "case when doc_id % 7 = 0 then concat(chr(10), "
+    "'lorem ipsum dolor sit.') else '' end, "
+    "case when doc_id % 11 = 0 then concat(chr(10), "
+    "'brace { line here.') else '' end, "
+    "'.')")
+
+
+def _q_c4_filters(spark, sf_dir):
+    # the C4 cleaning bundle (Raffel et al. 2020 §2.2): terminal-
+    # punctuation / min-words / javascript line rules + blocklist /
+    # lorem-ipsum / curly-bracket / min-sentence page rules — one
+    # narrow codegen'd Project, no shuffle.  min_sentences=3 fits
+    # the short synthetic pages so the gate actually splits the
+    # table; the operator default is the paper's 5.
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark.operators.selection import c4_filters
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(_C4_PAGE_EXPR).alias("text")))
+    return c4_filters(d, min_sentences=3)
+
+
 def _q_gopher_signals(spark, sf_dir):
     # the Gopher / MassiveText document-quality rule bundle (Rae et
     # al. 2021, A1.1): word-count band, mean word length, symbol
@@ -982,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": _q_curate,
         "curate_full": _q_curate_full,
         "gopher_signals": _q_gopher_signals,
+        "c4_filters": _q_c4_filters,
         "dsir_weights": _q_dsir_weights,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
@@ -2354,6 +2393,49 @@ def oracle_sql() -> dict[str, str]:
     # from the same token/line recipes; the pass flag compares the
     # ROUNDED columns exactly as the Spark gate does.
     _stop_lit = "['the','be','to','of','and','that','have','with']"
+    # C4 cleaning: line rules inside list_filter over the trimmed
+    # \n-split (terminal punct via \z — absolute end in BOTH Java
+    # regex and RE2, see operators/selection.py), page rules over
+    # the lowercased original text; sentence proxy = terminal-mark
+    # occurrences in the kept text.  min_sentences=3 mirrors the
+    # Spark contract query.
+    out["c4_filters"] = r"""
+        WITH page AS (
+          SELECT doc_id, """ + _C4_PAGE_EXPR + r""" AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id, lower(text) AS low,
+                 list_filter(list_transform(
+                     string_split(text, chr(10)), x -> trim(x)),
+                     x -> x != '') AS lines
+          FROM page),
+        k AS (
+          SELECT doc_id, low,
+                 list_filter(lines, x ->
+                     regexp_matches(x, '[.!?"]\z')
+                     AND len(list_filter(string_split_regex(x,
+                         '\s+'), w -> w != '')) >= 3
+                     AND NOT regexp_matches(lower(x),
+                         '\bjavascript\b')) AS kept
+          FROM base)
+        SELECT doc_id,
+               len(kept) AS n_lines_kept,
+               len(regexp_extract_all(coalesce(
+                   array_to_string(kept, chr(10)), ''), '[.!?]'))
+                   AS n_sentences,
+               (NOT regexp_matches(low,
+                    '\b(badword1|badword2|obscenity)\b')
+                AND NOT contains(low, 'lorem ipsum')
+                AND NOT contains(low, '{')
+                AND len(regexp_extract_all(coalesce(
+                    array_to_string(kept, chr(10)), ''),
+                    '[.!?]')) >= 3)
+                   AS c4_pass,
+               coalesce(array_to_string(kept, chr(10)), '')
+                   AS clean_text
+        FROM k
+    """
+
     out["gopher_signals"] = f"""
         WITH base AS (
           SELECT doc_id, text,

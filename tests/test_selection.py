@@ -86,3 +86,65 @@ def test_dsir_rejects_degenerate_buckets(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_logweights(df, df, n_buckets=1)
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    from vision_parse_spark.operators.selection import c4_filters
+
+    good = ("This is a perfectly normal first sentence of prose.\n"
+            "Here is another sentence that clearly ends properly!\n"
+            "Does this line end with a question mark?\n"
+            "A fourth declarative sentence sits right here.\n"
+            "And a fifth one closes out the page for the gate.")
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, good + "\nshort line\nno terminal punct here"),
+            (2, good + "\nPlease enable javascript to continue."),
+            (3, good.replace("another", "badword2")),
+            (4, good + "\nLorem Ipsum dolor sit amet."),
+            (5, good + "\nfunction f() { return 1; }"),
+            (6, "Too few sentences here.\nOnly two survive, sadly."),
+        ],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_filters(df).collect()}
+
+    assert out[0].c4_pass and out[0].n_lines_kept == 5
+    assert out[0].clean_text == good
+    # short / unterminated lines cut, page still passes
+    assert out[1].c4_pass and out[1].n_lines_kept == 5
+    # javascript LINE removed (case-insensitive word), page passes
+    assert out[2].n_lines_kept == 5
+    assert "javascript" not in out[2].clean_text
+    # blocklist word / lorem ipsum / curly bracket kill the PAGE
+    assert not out[3].c4_pass
+    assert not out[4].c4_pass
+    assert not out[5].c4_pass
+    # fewer than min_sentences kept -> page fails but lines remain
+    assert not out[6].c4_pass and out[6].n_lines_kept == 2
+
+
+def test_c4_filters_edges_and_validation(spark):
+    import pytest as _pt
+
+    from vision_parse_spark.operators.selection import c4_filters
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   \n  \n"), (2, 'He said "stop".\nShe said "go!"')],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_filters(df, min_sentences=1).collect()}
+    assert out[0].n_lines_kept == 0 and out[0].clean_text == ""
+    assert not out[0].c4_pass and not out[1].c4_pass
+    # closing double quote is terminal punctuation
+    assert out[2].n_lines_kept == 2 and out[2].c4_pass
+    with _pt.raises(ValueError, match="bad_words"):
+        c4_filters(df, bad_words=())
+
+
+def test_c4_filters_no_shuffle(spark):
+    from vision_parse_spark.operators.selection import c4_filters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (c4_filters(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan

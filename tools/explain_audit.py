@@ -310,6 +310,21 @@ def main():
         grab(bl),
     ))
 
+    from vision_parse_spark.operators.selection import c4_filters
+
+    c4 = c4_filters(docs.select("doc_id", "text"))
+    sections.append((
+        "C4 cleaning bundle (c4_filters)",
+        "round 6, Raffel et al. 2020 §2.2.  Like gopher_signals: "
+        "every line rule (terminal punct, min words, javascript) is "
+        "a higher-order filter over the trimmed line split and every "
+        "page rule (blocklist, lorem ipsum, curly bracket, sentence "
+        "floor) a regexp/contains over the row — ONE narrow "
+        "codegen'd Project, ZERO Exchange (CI-asserted), "
+        "parallelism from input splits alone.",
+        grab(c4),
+    ))
+
     from vision_parse_spark.operators.bpe import bpe_apply, bpe_merges
 
     ba = bpe_apply(docs.select("doc_id", "text"),

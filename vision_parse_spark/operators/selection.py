@@ -233,3 +233,98 @@ def dsir_select(
                         n_buckets, smoothing)
     return (w.orderBy(F.col("logw").desc(), F.col(id_col))
              .limit(n))
+
+
+# --- C4 cleaning (Raffel et al. 2020, §2.2) ------------------------
+
+# The paper gates on the full "List of Dirty, Naughty, Obscene or
+# Otherwise Bad Words"; shipping that list is out of scope, so the
+# default is a tiny demonstrative subset — callers pass the real
+# blocklist.  Matching is whole-word on the lowercased page, exactly
+# as C4's word-level containment check.
+C4_BAD_WORDS = ("badword1", "badword2", "obscenity")
+
+# \z (absolute end) rather than $: Java's $ also matches before a
+# final \r/\n line terminator while RE2's does not — \z is identical
+# in both engines, so a line left with a trailing \r by a \r\n split
+# fails the rule identically on both sides.
+_C4_TERMINAL_LINE = '[.!?"]\\z'        # terminal punct incl. end quote
+_C4_SENTENCE_MARK = "[.!?]"            # sentence proxy over kept text
+
+
+def c4_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 5,
+    min_line_words: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """The C4 cleaning bundle (Raffel et al. 2020 §2.2) — the other
+    canonical published web-corpus gate next to ``gopher_rules``.
+
+    LINE rules (applied to ``\\n``-split, trimmed lines):
+
+    * keep only lines ending in a terminal punctuation mark
+      (``. ! ?`` or a closing double quote);
+    * keep only lines with at least ``min_line_words`` words;
+    * drop any line containing the word ``javascript``
+      (case-insensitive whole word).
+
+    PAGE rules (over the original page text, lowercased):
+
+    * drop pages with fewer than ``min_sentences`` sentences —
+      counted as terminal-mark occurrences in the KEPT text (a
+      deterministic proxy for the paper's sentence splitter);
+    * drop pages containing any blocklist word (whole-word);
+    * drop pages containing the phrase ``lorem ipsum``;
+    * drop pages containing a curly bracket.
+
+    Returns ``(id_col, n_lines_kept, n_sentences, c4_pass,
+    clean_text)`` where ``clean_text`` re-joins the surviving lines
+    with ``\\n`` (empty string when nothing survives).  ``c4_pass``
+    is the page-level gate; line filtering is applied regardless so
+    survivors are already cleaned.
+
+    Scale shape (100 TB honest): ONE narrow codegen'd Project —
+    every rule is a Catalyst higher-order function or regexp over
+    the row itself; no shuffle, no UDF, parallelism from input
+    splits alone.  Regexes restricted to identical Java-regex/RE2
+    semantics (the ``scrub_pii`` precedent) so the DuckDB oracle
+    replays byte-identically.
+    """
+    if not bad_words:
+        raise ValueError("c4_filters: bad_words must be non-empty "
+                         "(pass the real blocklist)")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    kept = F.filter(
+        F.col("lines_"),
+        lambda x: x.rlike(_C4_TERMINAL_LINE)
+        & (F.size(F.filter(F.split(x, r"\s+"),
+                           lambda w: w != "")) >= min_line_words)
+        & ~F.lower(x).rlike(r"\bjavascript\b"))
+    low = F.lower(F.col(text_col))
+    bad_re = "\\b(" + "|".join(bad_words) + ")\\b"
+    out = (
+        df.select(F.col(id_col), F.col(text_col), lines.alias("lines_"))
+        .select(F.col(id_col), F.col(text_col), kept.alias("kept_"))
+        .select(
+            id_col,
+            F.size("kept_").alias("n_lines_kept"),
+            F.size(F.regexp_extract_all(
+                F.array_join("kept_", "\n"),
+                F.lit(_C4_SENTENCE_MARK), 0)).alias("n_sentences"),
+            (~low.rlike(bad_re)
+             & ~low.contains("lorem ipsum")
+             & ~low.contains("{")).alias("page_ok_"),
+            F.array_join("kept_", "\n").alias("clean_text"),
+        )
+    )
+    gate = (F.col("page_ok_")
+            & (F.col("n_sentences") >= min_sentences))
+    return (out.withColumn("c4_pass", gate)
+               .select(id_col, "n_lines_kept", "n_sentences",
+                       "c4_pass", "clean_text"))
