@@ -496,6 +496,23 @@ def _q_line_dedup(spark, sf_dir):
     return remove_frequent_lines(d, max_df=3)
 
 
+def _q_quality_clf(spark, sf_dir):
+    """CCNet/LLaMA-style seed-vs-crawl quality classifier: logistic
+    regression on hashed gram-presence features, full-batch GD for 8
+    exact steps at lr=0.125 (weights are control-plane, each step one
+    fused Arrow pass).  Target corpus = docs containing the word
+    'spark' (a content-keyed split the model can actually learn —
+    the synthetic lang column is uncorrelated with the text); the
+    whole table is then scored with keep_threshold=0.75."""
+    from vision_parse_spark.operators.classifier import quality_classifier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = d.filter("concat(' ', text, ' ') LIKE '% spark %'")
+    raw = d.filter("concat(' ', text, ' ') NOT LIKE '% spark %'")
+    return quality_classifier(raw, tgt, score_df=d,
+                              keep_threshold=0.75)
+
+
 # The documents table is unpunctuated single-line word soup, on
 # which every C4 rule is trivially degenerate (0 lines kept for all
 # docs).  The contract query derives a deterministic punctuated
@@ -1021,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": _q_curate_full,
         "gopher_signals": _q_gopher_signals,
         "c4_filters": _q_c4_filters,
+        "quality_clf": _q_quality_clf,
         "dsir_weights": _q_dsir_weights,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
@@ -2497,6 +2515,77 @@ def oracle_sql() -> dict[str, str]:
     # bucket distributions for target (doc_id%10=0) and raw corpora
     # -> per-raw-doc bag log-likelihood ratio.  Hash = the engine's
     # portable md5 bucket; smoothing 1.0, B = 512.
+    # Quality classifier: replay 8 full-batch GD steps as
+    # MATERIALIZED CTEs (w_t / bias_t relations; f is the per-doc
+    # gram-presence stream, referenced twice per round — inlining
+    # would double the plan per round, the bpe_merges lesson).
+    # All literals exact binary (lr=0.125); float drift between the
+    # engines' sum orders is ~1e-14, five orders under the 4-decimal
+    # score rounding (see operators/classifier.py docstring).
+    def _clf_ctes(iters: int) -> str:
+        ctes = [r"""ctt AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                             '\s+'), x -> x != '') AS t
+          FROM documents),
+        cgr AS MATERIALIZED (
+          SELECT doc_id,
+                 list_concat(t, CASE WHEN len(t) >= 2
+                   THEN list_transform(range(len(t) - 1),
+                        i -> t[i + 1] || ' ' || t[i + 2])
+                   ELSE [] END) AS g
+          FROM ctt),
+        f AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 CAST(('0x' || substring(md5(gram), 1, 15))
+                      AS BIGINT) % 512 AS bucket
+          FROM (SELECT doc_id, unnest(g) AS gram FROM cgr)),
+        lab AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN contains(' ' || text || ' ', ' spark ')
+                      THEN 1 ELSE 0 END AS y
+          FROM documents),
+        nn AS MATERIALIZED (
+          SELECT count(DISTINCT doc_id) AS n FROM f),
+        w0 AS MATERIALIZED (
+          SELECT DISTINCT bucket, 0.0 AS w FROM f),
+        b0 AS MATERIALIZED (SELECT 0.0 AS bias)"""]
+        for t in range(iters):
+            ctes.append(f"""s{t} AS MATERIALIZED (
+              SELECT d.doc_id, d.y,
+                     1.0 / (1.0 + exp(-(b.bias + d.sw))) - d.y AS r
+              FROM (SELECT f.doc_id, any_value(lab.y) AS y,
+                           sum(w.w) AS sw
+                    FROM f JOIN w{t} w USING (bucket)
+                           JOIN lab USING (doc_id)
+                    GROUP BY f.doc_id) d
+              CROSS JOIN b{t} b)""")
+            ctes.append(f"""w{t + 1} AS MATERIALIZED (
+              SELECT w.bucket,
+                     w.w - 0.125 * coalesce(g.g, 0)
+                         / (SELECT n FROM nn) AS w
+              FROM w{t} w LEFT JOIN (
+                SELECT bucket, sum(r) AS g
+                FROM f JOIN s{t} USING (doc_id)
+                GROUP BY bucket) g USING (bucket))""")
+            ctes.append(f"""b{t + 1} AS MATERIALIZED (
+              SELECT bias - 0.125 * (SELECT sum(r) FROM s{t})
+                          / (SELECT n FROM nn) AS bias
+              FROM b{t})""")
+        return ",\n".join(ctes)
+
+    out["quality_clf"] = (
+        "WITH " + _clf_ctes(8) + """
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-(b.bias + d.sw))), 4) AS score,
+               round(1.0 / (1.0 + exp(-(b.bias + d.sw))), 4) >= 0.75
+                   AS quality_keep
+        FROM (SELECT f.doc_id, sum(w.w) AS sw
+              FROM f JOIN w8 w USING (bucket)
+              GROUP BY f.doc_id) d
+        CROSS JOIN b8 b
+    """)
+
     out["dsir_weights"] = """
         WITH tt AS (
           SELECT doc_id,

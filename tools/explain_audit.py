@@ -310,6 +310,29 @@ def main():
         grab(bl),
     ))
 
+    from vision_parse_spark.operators.classifier import (
+        quality_classifier_fit, quality_classifier_score)
+
+    _tgt = docs.filter("concat(' ', text, ' ') LIKE '% spark %'")
+    _raw = docs.filter("concat(' ', text, ' ') NOT LIKE '% spark %'")
+    _w, _b = quality_classifier_fit(_raw.select("doc_id", "text"),
+                                    _tgt.select("doc_id", "text"),
+                                    iters=1)
+    qc = quality_classifier_score(docs.select("doc_id", "text"), _w, _b)
+    sections.append((
+        "Quality classifier scoring pass (quality_clf)",
+        "round 6, CCNet/LLaMA seed-vs-crawl logistic filter.  The "
+        "kmeans_fit idiom: weights are control-plane (n_buckets "
+        "doubles re-broadcast per GD step inside the Arrow kernel "
+        "closure); each step is ONE fused mapInPandas pass whose "
+        "exchange carries <= n_buckets + 1 partial-gradient rows "
+        "per batch (bounded-key combine, never the data).  The plan "
+        "below is the scoring pass: gram-distinct agg -> per-doc "
+        "bucket collect -> ArrowEvalPython — the only data-sized "
+        "shuffles are the two feature aggs, computed ONCE.",
+        grab(qc),
+    ))
+
     from vision_parse_spark.operators.selection import c4_filters
 
     c4 = c4_filters(docs.select("doc_id", "text"))
