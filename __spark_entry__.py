@@ -926,6 +926,54 @@ def _q_event_quantiles(spark, sf_dir):
     )
 
 
+def _q_hll_vocab(spark, sf_dir):
+    """Per-language vocabulary size via PORTABLE HyperLogLog (p=12,
+    md5-derived registers) next to the exact countDistinct twin.
+    The sketch is the 100 TB path — its only exchange carries <= m
+    register rows per language (vs count(distinct)'s full shuffle of
+    every distinct token); the exact column is the small-scale
+    validation twin the oracle checks both of."""
+    from vision_parse_spark.functions.text_stats import ws_tokens
+    from vision_parse_spark.operators.sketches import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(ws_tokens("text")).alias("tok"))
+    est = hll_distinct(toks, "tok", ["lang"], p=12)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_cnt"))
+    return est.join(exact, "lang")
+
+
+def _q_cms_heavy(spark, sf_dir):
+    """Count-Min (d=4, w=1024) point-frequency estimates for the 20
+    most frequent corpus tokens, next to their exact counts.  The
+    counter build's exchange is bounded by d*w rows per partition
+    (map-side combine); the probe lookup broadcasts the 4 KiB-row
+    counter table, so the corpus never shuffles for the probe."""
+    from vision_parse_spark.functions.text_stats import ws_tokens
+    from vision_parse_spark.operators.sketches import cms_counts
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = (exact.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+                   .limit(20))
+    est = cms_counts(toks, "tok", probes.select("tok"), "tok")
+    return est.join(F.broadcast(probes), "tok")
+
+
+def _q_event_funnel(spark, sf_dir):
+    """signup -> click -> purchase conversion funnel per user: stage
+    k anchors at the earliest qualifying event strictly after stage
+    k-1.  One shuffle total — the k conditional-min windows share
+    one partitionBy(user) Exchange and the final per-user collapse
+    reuses it."""
+    from vision_parse_spark.operators.temporal import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, ["signup", "click", "purchase"])
+
+
 def _q_conv_stats(spark, sf_dir):
     # north_rule skew handling: salted two-phase per-conv aggregation;
     # oracle is the plain GROUP BY (results must be identical)
@@ -1060,6 +1108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q_corpus_rollup,
         "asof_attribution": _q_asof_attribution,
         "event_quantiles": _q_event_quantiles,
+        "hll_vocab": _q_hll_vocab,
+        "cms_heavy": _q_cms_heavy,
+        "event_funnel": _q_event_funnel,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "chunk_documents": _q_chunk_documents,
@@ -2624,5 +2675,64 @@ def oracle_sql() -> dict[str, str]:
                round(sum(c * lr), 4) AS logw
         FROM rawb JOIN lr USING (bucket)
         GROUP BY doc_id
+    """
+    # Sketches: the DuckDB replays are GENERATED by the same module
+    # that builds the Spark plans (operators/sketches.py), so the
+    # register construction, the scaled-integer harmonic fold and
+    # every float literal are single-sourced across both engines.
+    from vision_parse_spark.operators.sketches import (
+        cms_counts_sql, hll_distinct_sql)
+
+    _tok_lang_src = (
+        "(SELECT lang, unnest(list_filter(string_split_regex("
+        "lower(trim(text)), '\\s+'), x -> x != '')) AS tok "
+        "FROM documents)")
+    _tok_src = (
+        "(SELECT unnest(list_filter(string_split_regex("
+        "lower(trim(text)), '\\s+'), x -> x != '')) AS tok "
+        "FROM documents)")
+    out["hll_vocab"] = f"""
+        SELECT h.lang, h.hll_est, e.exact_cnt
+        FROM ({hll_distinct_sql("tok", _tok_lang_src, ["lang"], p=12)}) h
+        JOIN (SELECT lang, count(DISTINCT tok) AS exact_cnt
+              FROM {_tok_lang_src} GROUP BY lang) e USING (lang)
+    """
+    _probe_sql = (f"SELECT tok FROM (SELECT tok, count(*) AS c "
+                  f"FROM {_tok_src} GROUP BY tok) "
+                  f"ORDER BY c DESC, tok LIMIT 20")
+    out["cms_heavy"] = f"""
+        SELECT c.tok, c.cms_est, e.exact_cnt
+        FROM ({cms_counts_sql("tok", _tok_src, _probe_sql, "tok")}) c
+        JOIN (SELECT tok, count(*) AS exact_cnt
+              FROM {_tok_src} GROUP BY tok) e USING (tok)
+    """
+    # funnel: the same conditional-min window chain, stage k gated on
+    # strictly-after stage k-1, then the per-user collapse
+    out["event_funnel"] = """
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        a AS (
+          SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+                    OVER (PARTITION BY user_id) AS signup_us
+          FROM s),
+        b AS (
+          SELECT *, min(CASE WHEN event_type = 'click'
+                             AND us > signup_us THEN us END)
+                    OVER (PARTITION BY user_id) AS click_us
+          FROM a),
+        c AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase'
+                             AND us > click_us THEN us END)
+                    OVER (PARTITION BY user_id) AS purchase_us
+          FROM b)
+        SELECT user_id,
+               max(signup_us) AS signup_us,
+               max(click_us) AS click_us,
+               max(purchase_us) AS purchase_us,
+               CAST(max(signup_us) IS NOT NULL AS INTEGER)
+                 + CAST(max(click_us) IS NOT NULL AS INTEGER)
+                 + CAST(max(purchase_us) IS NOT NULL AS INTEGER)
+                 AS stage_reached
+        FROM c GROUP BY user_id
     """
     return out

@@ -385,6 +385,42 @@ def main():
         grab(po),
     ))
 
+    from vision_parse_spark.functions.text_stats import ws_tokens
+    from vision_parse_spark.operators.sketches import hll_distinct
+
+    toks = docs.select("lang", F.explode(ws_tokens("text")).alias("tok"))
+    hll = hll_distinct(toks, "tok", ["lang"], p=12)
+    sections.append((
+        "HyperLogLog distinct sketch (hll_vocab)",
+        "round 6, Flajolet et al. 2007.  The 100 TB answer to "
+        "count(distinct): a narrow Project computes (register, rho) "
+        "per row, then ONE hash agg on the BOUNDED (group, j) key — "
+        "map-side combine collapses every partition to <= m = 4096 "
+        "rows before the exchange, vs count(distinct)'s stage-one "
+        "shuffle of every distinct value.  Registers merge "
+        "associatively (partition-invariance pytest'd); the "
+        "harmonic fold is scaled-integer bigint so no float "
+        "merge-order drift reaches the estimate.  cms_counts has "
+        "the same shape with a d*w-bounded key, then BROADCASTS "
+        "the counter table to the probe side.",
+        grab(hll),
+    ))
+
+    from vision_parse_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    fu = funnel(ev, ["signup", "click", "purchase"])
+    sections.append((
+        "Conversion funnel (event_funnel)",
+        "round 6.  k conditional-min window aggregates share ONE "
+        "partitionBy(user) spec, and the final per-user collapse's "
+        "required distribution is already satisfied by it — the "
+        "whole funnel is a SINGLE shuffle of the events relation "
+        "regardless of stage count (Exchange count == 1 is "
+        "CI-asserted in test_sketches).",
+        grab(fu),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")

@@ -157,3 +157,56 @@ def asof_join(
         *[F.col(f"_m._r_{c}").alias(f"asof_{c}")
           for c in right_value_cols],
         lag.alias("asof_lag_us"))
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user ordered conversion funnel (the product-analytics
+    primitive: "signup, then a click after it, then a purchase after
+    that").  Stage k's timestamp is the EARLIEST event of stage k's
+    type STRICTLY AFTER stage k-1's timestamp (stage 0: earliest of
+    its type overall); a user who never reaches stage k has NULL
+    there and for every later stage.
+
+    Output: ``(user_col, <stage>_us ... , stage_reached)`` — one row
+    per user appearing in ``events``, timestamps as epoch
+    microseconds, ``stage_reached`` = number of stages attained.
+
+    Scale shape: the stage chain is k conditional-min window
+    aggregates over the SAME ``partitionBy(user)`` spec — Catalyst
+    plans ONE Exchange and stacked WindowExecs, and the final
+    per-user collapse reuses that partitioning (its required
+    distribution is already satisfied), so the whole funnel is a
+    single shuffle of the events relation regardless of k.
+    Determinism: min() over a fixed per-user row set — merge-order
+    free.  NULL-ts events never win a min and so never anchor a
+    stage.
+    """
+    if not stages:
+        raise ValueError("funnel: need at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"funnel: duplicate stage types {stages}")
+    w = Window.partitionBy(user_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = events.select(user_col, F.col(type_col).alias("_et"),
+                      us.alias("_us"))
+    cols: list[str] = []
+    prev = None
+    for st in stages:
+        c = f"{st}_us"
+        cond = F.col("_et") == st
+        if prev is not None:
+            cond = cond & (F.col("_us") > F.col(prev))
+        d = d.withColumn(c, F.min(F.when(cond, F.col("_us"))).over(w))
+        cols.append(c)
+        prev = c
+    return (d.groupBy(user_col)
+             .agg(*[F.max(c).alias(c) for c in cols])
+             .withColumn("stage_reached",
+                         sum((F.col(c).isNotNull().cast("int")
+                              for c in cols), F.lit(0))))
