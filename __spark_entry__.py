@@ -198,6 +198,50 @@ def _q_lev_similarity(spark, sf_dir):
     return p.select("id_a", "id_b", F.round(sim, 6).alias("similarity"))
 
 
+def _q_rouge2(spark, sf_dir):
+    """ROUGE-2 recall (Lin 2004) on the same adjacent-doc pairing as
+    lev_similarity: candidate = doc id_a+1, reference = doc id_a.
+    Pure Catalyst — the bigram streams union with a side tag and
+    aggregate once on (pair, gram), then collapse per pair; no join,
+    no UDF.  Pairs whose reference has < 2 tokens are absent
+    (recall undefined)."""
+    from vision_parse_spark.benchmarks.scoring import rouge_n_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    p = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return rouge_n_pairs(p, ["id_a", "id_b"], cand_col="tb",
+                         ref_col="ta", n=2)
+
+
+def _q_bloom_tokens(spark, sf_dir):
+    """Portable Bloom membership sketch: the filter is built over the
+    English subcorpus' token stream (one bounded-key OR-fold agg,
+    <= m/32 rows out), broadcast, and probed with the 20 most
+    frequent global tokens; the exact-membership twin column makes
+    the one-sided guarantee (no false negatives) checkable."""
+    from vision_parse_spark.functions.text_stats import ws_tokens
+    from vision_parse_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+
+    d = _t(spark, sf_dir, "documents")
+    toks_en = (d.filter(F.col("lang") == "en")
+                .select(F.explode(ws_tokens("text")).alias("tok")))
+    toks_all = d.select(F.explode(ws_tokens("text")).alias("tok"))
+    probes = (toks_all.groupBy("tok")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .orderBy(F.desc("c"), F.asc("tok")).limit(20)
+              .select("tok"))
+    bloom = bloom_build(toks_en, "tok")
+    maybe = bloom_probe(probes, bloom, "tok")
+    en_set = toks_en.distinct().withColumn("_in", F.lit(1))
+    return (maybe.join(en_set, "tok", "left")
+                 .select("tok", "maybe_present",
+                         F.col("_in").isNotNull()
+                          .alias("actually_present")))
+
+
 def _q_accuracy_agg(spark, sf_dir):
     # T16 scoring.py:53-60 — mean similarity per group
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -1057,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_turns": _q_ordered_turns,
         "sessionize": _q_sessionize,
         "lev_similarity": _q_lev_similarity,
+        "rouge2": _q_rouge2,
+        "bloom_tokens": _q_bloom_tokens,
         "accuracy_agg": _q_accuracy_agg,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -2705,6 +2751,52 @@ def oracle_sql() -> dict[str, str]:
         FROM ({cms_counts_sql("tok", _tok_src, _probe_sql, "tok")}) c
         JOIN (SELECT tok, count(*) AS exact_cnt
               FROM {_tok_src} GROUP BY tok) e USING (tok)
+    """
+    from vision_parse_spark.operators.sketches import bloom_sql
+
+    _tok_en_src = (
+        "(SELECT unnest(list_filter(string_split_regex("
+        "lower(trim(text)), '\\s+'), x -> x != '')) AS tok "
+        "FROM documents WHERE lang = 'en')")
+    out["bloom_tokens"] = f"""
+        SELECT m.tok, m.maybe_present,
+               (en.tok IS NOT NULL) AS actually_present
+        FROM ({bloom_sql("tok", _tok_en_src, _probe_sql, "tok")}) m
+        LEFT JOIN (SELECT DISTINCT tok FROM {_tok_en_src}) en
+        USING (tok)
+    """
+    # ROUGE-2 recall over adjacent-doc pairs: the same union +
+    # (pair, gram) agg + clipped/total collapse as the Spark side
+    out["rouge2"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != '') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 2
+                   THEN list_transform(range(len(t) - 1),
+                        i -> t[i + 1] || ' ' || t[i + 2])
+                   ELSE [] END AS g
+          FROM t),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.g AS gr, b.g AS gc
+          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1),
+        pg AS (
+          SELECT id_a, id_b, gm, sum(r) AS r, sum(c) AS c
+          FROM (
+            SELECT id_a, id_b, unnest(gr) AS gm, 1 AS r, 0 AS c
+            FROM pairs
+            UNION ALL
+            SELECT id_a, id_b, unnest(gc) AS gm, 0 AS r, 1 AS c
+            FROM pairs)
+          GROUP BY id_a, id_b, gm),
+        pp AS (
+          SELECT id_a, id_b, sum(least(r, c)) AS clip, sum(r) AS tot
+          FROM pg WHERE r > 0 GROUP BY id_a, id_b)
+        SELECT id_a, id_b, round(clip / tot, 6) AS rouge2 FROM pp
     """
     # funnel: the same conditional-min window chain, stage k gated on
     # strictly-after stage k-1, then the per-user collapse

@@ -141,3 +141,33 @@ def test_bleu_tokenizer_parity_fixture():
     # at least one diverge case must actually diverge (the fixture is
     # not vacuous) and none explode past the documented bound
     assert deltas and max(deltas.values()) > 0.0
+
+
+def test_rouge2_clipped_recall(spark):
+    from vision_parse_spark.benchmarks.scoring import rouge_n_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "the cat sat here on the mat", "the cat sat on the mat"),
+         # repeated ref bigram clips at the candidate count:
+         # ref {a b: 2, b a: 1} tot 3, cand {a b: 1} -> 1/3
+         (2, "a b", "a b a b"),
+         # reference with < 2 tokens: absent from output
+         (3, "anything here", "single")],
+        "pid long, cand string, ref string")
+    out = {r.pid: r.rouge2 for r in
+           rouge_n_pairs(pairs, ["pid"], "cand", "ref", n=2).collect()}
+    assert out[1] == 0.8          # 4 of 5 ref bigrams matched
+    assert out[2] == round(1 / 3, 6)
+    assert 3 not in out and len(out) == 2
+
+
+def test_rouge1_and_validation(spark):
+    from vision_parse_spark.benchmarks.scoring import rouge_n_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "b c d", "a b c")], "pid long, cand string, ref string")
+    [r] = rouge_n_pairs(pairs, ["pid"], "cand", "ref", n=1).collect()
+    assert r.rouge1 == round(2 / 3, 6)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must be"):
+        rouge_n_pairs(pairs, ["pid"], "cand", "ref", n=0)

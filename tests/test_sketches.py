@@ -173,3 +173,54 @@ def test_funnel_single_shuffle_plan(spark):
     plan = funnel(ev, ["signup", "click", "purchase"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bloom_no_false_negatives(spark):
+    from vision_parse_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+
+    items = spark.createDataFrame(
+        [(f"w{i}",) for i in range(1000)], "tok string")
+    bloom = bloom_build(items, "tok", m_bits=65536, k=4)
+    out = bloom_probe(items.distinct(), bloom, "tok",
+                      m_bits=65536, k=4).collect()
+    assert len(out) == 1000
+    assert all(r.maybe_present for r in out)  # one-sided guarantee
+
+
+def test_bloom_unseen_mostly_absent(spark):
+    from vision_parse_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+
+    items = spark.createDataFrame(
+        [(f"w{i}",) for i in range(100)], "tok string")
+    probes = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(100)], "tok string")
+    bloom = bloom_build(items, "tok", m_bits=65536, k=4)
+    hits = sum(r.maybe_present for r in
+               bloom_probe(probes, bloom, "tok",
+                           m_bits=65536, k=4).collect())
+    # fp rate at n=100, m=65536, k=4 is ~1e-9 — any hit is a bug
+    assert hits == 0
+
+
+def test_bloom_partition_invariance(spark):
+    from vision_parse_spark.operators.sketches import bloom_build
+
+    items = spark.createDataFrame(
+        [(f"w{i}",) for i in range(500)], "tok string")
+    a = {(r.word, r.bits) for r in
+         bloom_build(items.coalesce(1), "tok").collect()}
+    b = {(r.word, r.bits) for r in
+         bloom_build(items.repartition(13), "tok").collect()}
+    assert a == b
+
+
+def test_bloom_validation(spark):
+    from vision_parse_spark.operators.sketches import bloom_build
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_build(df, "tok", m_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(df, "tok", k=0)

@@ -113,3 +113,54 @@ def bleu_udf_factory():
         )
 
     return bleu
+
+
+def rouge_n_pairs(pairs, id_cols: list[str], cand_col: str,
+                  ref_col: str, n: int = 2):
+    """Distributed ROUGE-N recall (Lin 2004) for a DataFrame of
+    (candidate, reference) text pairs: ``sum_g min(cnt_cand(g),
+    cnt_ref(g)) / sum_g cnt_ref(g)`` over reference n-grams ``g`` of
+    the whitespace token stream (the corpus-wide ``ws_tokens``
+    recipe).  Pairs whose reference has zero n-grams are absent from
+    the output (recall is undefined there).
+
+    Scale shape: both gram streams union with a side tag and
+    aggregate ONCE on the (pair, gram) key (map-side combine), then
+    the clipped/total sums collapse on the pair key — two shuffles,
+    no join, no UDF; the n-gram window is a codegen'd
+    transform/slice over the token array.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text_stats import ws_tokens_sql
+
+    if n < 1:
+        raise ValueError(f"rouge_n_pairs: n must be >= 1, got {n}")
+
+    def grams(col: str):
+        toks = ws_tokens_sql(col)
+        if n == 1:
+            return F.expr(toks)
+        # sliding window: position i joins n consecutive tokens
+        return F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+            f"ELSE array() END")
+
+    sides = (
+        pairs.select(*id_cols, F.explode(grams(ref_col)).alias("g"),
+                     F.lit(1).alias("_r"), F.lit(0).alias("_c"))
+        .unionByName(
+            pairs.select(*id_cols, F.explode(grams(cand_col)).alias("g"),
+                         F.lit(0).alias("_r"), F.lit(1).alias("_c")))
+    )
+    per_gram = (sides.groupBy(*id_cols, "g")
+                .agg(F.sum("_r").alias("r"), F.sum("_c").alias("c")))
+    per_pair = (per_gram.filter(F.col("r") > 0)
+                .groupBy(*id_cols)
+                .agg(F.sum(F.least("r", "c")).alias("clip"),
+                     F.sum("r").alias("tot")))
+    return per_pair.select(
+        *id_cols,
+        F.round(F.col("clip") / F.col("tot"), 6).alias(f"rouge{n}"))

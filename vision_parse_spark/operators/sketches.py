@@ -228,3 +228,105 @@ def cms_counts_sql(value_expr: str, src: str, probe_sql: str,
         FROM pb LEFT JOIN counters USING (i, b)
         GROUP BY pb.{probe_col}
     """
+
+
+def _bloom_positions(col: str, m_bits: int, k: int) -> list[str]:
+    """The k salted bit positions of ``col`` — md5 recipe shared
+    with :func:`cms_counts` (salt ``'i:'``)."""
+    return [
+        (f"cast(conv(substring(md5(concat('{i}:', "
+         f"cast({col} as string))), 1, 15), 16, 10) "
+         f"as bigint) % {m_bits}")
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    items: DataFrame,
+    value_col: str,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Portable Bloom filter over ``items[value_col]`` as a relation
+    of 32-bit words packed in bigints: ``(word, bits)``, one row per
+    NON-ZERO word (word = position div 32) — the join-pruning /
+    membership sketch (Bloom 1970; Spark's own runtime filter is the
+    same structure).
+
+    32-bit words keep every shift in [0, 31] — portable to engines
+    that raise on ``1 << 63`` bigint overflow (DuckDB) — and the
+    bitwise OR fold is associative, so the build is one map-side-
+    combining hash agg on the bounded word key (≤ m_bits/32 rows
+    out) no matter the input size.
+    """
+    if m_bits < 32 or m_bits % 32:
+        raise ValueError(f"m_bits must be a positive multiple of 32, "
+                         f"got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = F.array(*[F.expr(p) for p in
+                    _bloom_positions(value_col, m_bits, k)])
+    return (
+        items.select(F.explode(pos).alias("p"))
+             .select(F.expr("p div 32").alias("word"),
+                     F.expr("shiftleft(cast(1 as bigint), "
+                            "cast(p % 32 as int))").alias("m"))
+             .groupBy("word").agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """``(value_col, maybe_present)`` for each probe row: true iff
+    ALL k bit positions are set (the one-sided Bloom guarantee — no
+    false negatives).  The filter relation broadcasts (≤ m_bits/32
+    rows); the probe side never shuffles."""
+    pos = F.array(*[F.expr(p) for p in
+                    _bloom_positions(value_col, m_bits, k)])
+    pb = (probes.select(F.col(value_col), F.explode(pos).alias("p"))
+                .select(value_col, F.expr("p div 32").alias("word"),
+                        F.expr("shiftleft(cast(1 as bigint), "
+                               "cast(p % 32 as int))").alias("m")))
+    return (
+        pb.join(F.broadcast(bloom), "word", "left")
+          .groupBy(value_col)
+          .agg(F.bool_and(
+              F.coalesce(F.col("bits"), F.lit(0))
+               .bitwiseAND(F.col("m")) != 0).alias("maybe_present"))
+    )
+
+
+def bloom_sql(value_expr: str, src: str, probe_sql: str,
+              probe_col: str, m_bits: int = 65536, k: int = 4) -> str:
+    """DuckDB replay of ``bloom_build`` + ``bloom_probe``: returns
+    ``(probe_col, maybe_present)`` for the probe relation."""
+    def positions(col: str, rel: str, keep_col: bool) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {col + ', ' if keep_col else ''}"
+            f"CAST(('0x' || substring(md5('{i}:' || "
+            f"CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % {m_bits} "
+            f"AS p FROM {rel}"
+            for i in range(k))
+
+    return f"""
+        WITH probes AS ({probe_sql}),
+        bloom AS (
+          SELECT p // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                   AS bits
+          FROM ({positions(value_expr, src, False)}) GROUP BY word),
+        pb AS (
+          SELECT {probe_col}, p // 32 AS word,
+                 CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER) AS m
+          FROM ({positions(probe_col, "probes", True)}))
+        SELECT pb.{probe_col},
+               bool_and((coalesce(bloom.bits, 0) & pb.m) != 0)
+                 AS maybe_present
+        FROM pb LEFT JOIN bloom USING (word)
+        GROUP BY pb.{probe_col}
+    """
