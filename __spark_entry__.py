@@ -1018,6 +1018,56 @@ def _q_event_funnel(spark, sf_dir):
     return funnel(e, ["signup", "click", "purchase"])
 
 
+def _q_event_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph (Page et al.
+    1999): ONE corpus-sized pass (per-user lag window -> bounded-key
+    edge counts with map-side combine), then 5 fixed synchronous
+    rank iterations over the bounded edge relation.  Every float
+    reduction is an ordered left fold over a sorted list, so the
+    DuckDB CTE replay (generated by the same module) is
+    bit-identical — no merge-order drift."""
+    from vision_parse_spark.operators.graph import transition_pagerank
+
+    e = _t(spark, sf_dir, "events")
+    return transition_pagerank(e, damping=0.85, n_iter=5)
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = ISO week of each
+    user's first event; one row per (cohort_week, week_offset) with
+    the active-user count.  Two bounded shuffles (per-user collapse
+    with a calendar-bounded collect_set, then the weeks^2-keyed
+    count agg); all-integer output — hash-exact."""
+    from vision_parse_spark.operators.graph import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+def _q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (UAX #15) — the pre-dedup text
+    canonicalization step.  Input is the document prefix with a
+    deterministic decomposed suffix ('Cafe' + U+0301 combining
+    acute, built in-engine from base64 on BOTH sides) so the
+    composition is exercised on every row; narrow Arrow-batched
+    pandas map, zero shuffle.  Oracle: DuckDB nfc_normalize."""
+    from vision_parse_spark.functions.normalize import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    acc = F.expr("decode(unbase64('zIE='), 'UTF-8')")  # U+0301
+    d = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 30), F.lit("Cafe"), acc)
+        .alias("raw"))
+    out = normalize_text(d, "raw", "NFC", out_col="text_nfc")
+    return out.select(
+        "doc_id", "text_nfc",
+        (F.col("text_nfc") != F.col("raw")).cast("int")
+        .alias("changed"),
+        (F.length("raw") - F.length("text_nfc")).cast("long")
+        .alias("delta_chars"))
+
+
 def _q_conv_stats(spark, sf_dir):
     # north_rule skew handling: salted two-phase per-conv aggregation;
     # oracle is the plain GROUP BY (results must be identical)
@@ -1157,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": _q_hll_vocab,
         "cms_heavy": _q_cms_heavy,
         "event_funnel": _q_event_funnel,
+        "event_pagerank": _q_event_pagerank,
+        "cohort_retention": _q_cohort_retention,
+        "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "chunk_documents": _q_chunk_documents,
@@ -2826,5 +2879,27 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(max(purchase_us) IS NOT NULL AS INTEGER)
                  AS stage_reached
         FROM c GROUP BY user_id
+    """
+    # pagerank / cohort: CTE replays generated by operators.graph
+    # itself (the sketches pattern) — fixed iterations unrolled,
+    # ordered list_reduce folds for bit-identical doubles
+    from vision_parse_spark.operators.graph import (
+        cohort_retention_sql, transition_pagerank_sql)
+    out["event_pagerank"] = transition_pagerank_sql(0.85, 5)
+    out["cohort_retention"] = cohort_retention_sql()
+    # NFC: same in-engine input construction (base64 -> U+0301), then
+    # DuckDB's utf8proc NFC vs pandas str.normalize — both UAX #15
+    out["nfc_normalize"] = """
+        WITH r AS (
+          SELECT doc_id,
+                 substring(text, 1, 30) || 'Cafe'
+                   || decode(from_base64('zIE=')) AS raw
+          FROM documents)
+        SELECT doc_id,
+               nfc_normalize(raw) AS text_nfc,
+               CAST(nfc_normalize(raw) != raw AS INTEGER) AS changed,
+               length(raw) - length(nfc_normalize(raw))
+                 AS delta_chars
+        FROM r
     """
     return out

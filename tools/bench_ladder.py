@@ -37,7 +37,12 @@ OFFSET = {"doc_id": 10**9, "vec_id": 10**9,
           "event_id": 10**9, "user_id": 10**6}
 
 NEW_OPS = ["asof_attribution", "bm25", "gopher_signals", "dsir_weights",
-           "line_dedup", "span_dedup", "curate_full"]
+           "line_dedup", "span_dedup", "curate_full",
+           # round-6 additions: trained classifier (control-plane GD),
+           # the three portable sketches, funnel, ROUGE
+           "quality_clf", "hll_vocab", "cms_heavy", "bloom_tokens",
+           "event_funnel", "rouge2", "event_pagerank",
+           "cohort_retention"]
 
 
 def build_tiles(spark):
