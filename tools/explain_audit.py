@@ -421,6 +421,36 @@ def main():
         grab(fu),
     ))
 
+    from vision_parse_spark.operators.graph import (
+        cohort_retention, transition_edges)
+
+    te = transition_edges(ev)
+    sections.append((
+        "Transition-graph PageRank (event_pagerank) — edge extraction",
+        "round 6, Page et al. 1999.  The corpus-sized work is THIS "
+        "plan: one partitionBy(user) window (lag with the (ts, id) "
+        "tiebreak) feeding a bounded-key (src, dst) count agg — "
+        "map-side combine collapses every partition to <= |types|^2 "
+        "rows before the tiny exchange.  The 5 rank rounds then run "
+        "on the checkpointed bounded edge relation (joins over "
+        "<= |types|^2 rows — control-plane-sized, the bpe_merges / "
+        "kmeans split), so the corpus is never touched again.",
+        grab(te),
+    ))
+
+    co = cohort_retention(ev)
+    sections.append((
+        "Weekly cohort retention (cohort_retention)",
+        "round 6.  TWO bounded shuffles: groupBy(user) collapses "
+        "each user to one row (min week + a calendar-bounded "
+        "collect_set, map-side combined — never a distinct over the "
+        "raw event stream), then the exploded (cohort, offset) "
+        "pairs aggregate on a weeks^2-bounded key.  No join-back, "
+        "no window.  nfc_normalize needs no section: a single "
+        "narrow ArrowEvalPython Project, zero exchange.",
+        grab(co),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")
