@@ -1068,6 +1068,36 @@ def _q_nfc_normalize(spark, sf_dir):
         .alias("delta_chars"))
 
 
+_LQ_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _q_length_quantiles(spark, sf_dir):
+    """Histogram quantile sketch over document lengths — the
+    distribution member of the sketch family.  ONE bounded-key
+    count agg (<= 64 rows per partition after map-side combine)
+    replaces percentile()'s global sort; the exact percentile twin
+    rides along per row so sketch error is visible (and bounded by
+    one bin width).  Sketch arithmetic is in-engine double casts
+    over exact integers — bit-identical to the generated DuckDB
+    replay; only the exact twin needs round(4) (engine-specific
+    interpolation, the event_quantiles precedent)."""
+    from vision_parse_spark.operators.sketches import hist_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(F.length("text").alias("len"))
+    est = hist_quantiles(lens, "len", _LQ_PROBS, n_bins=64)
+    arr = ", ".join(f"{p}D" for p in _LQ_PROBS)
+    exact = d.agg(F.expr(
+        f"percentile(length(text), array({arr}))").alias("q"))
+    prob_map = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(_LQ_PROBS)],
+        "i int, prob double")
+    twin = (exact.select(F.posexplode("q").alias("i", "ex"))
+                 .join(F.broadcast(prob_map), "i")
+                 .select("prob", F.round("ex", 4).alias("exact")))
+    return est.join(twin, "prob")
+
+
 def _q_conv_stats(spark, sf_dir):
     # north_rule skew handling: salted two-phase per-conv aggregation;
     # oracle is the plain GROUP BY (results must be identical)
@@ -1209,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "event_pagerank": _q_event_pagerank,
         "cohort_retention": _q_cohort_retention,
+        "length_quantiles": _q_length_quantiles,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2887,6 +2918,23 @@ def oracle_sql() -> dict[str, str]:
         cohort_retention_sql, transition_pagerank_sql)
     out["event_pagerank"] = transition_pagerank_sql(0.85, 5)
     out["cohort_retention"] = cohort_retention_sql()
+    from vision_parse_spark.operators.sketches import hist_quantiles_sql
+    _lq_est = hist_quantiles_sql("length(text)", "documents",
+                                 _LQ_PROBS, 64)
+    _lq_probs = ", ".join(f"CAST({p} AS DOUBLE)" for p in _LQ_PROBS)
+    _lq_list = ", ".join(str(p) for p in _LQ_PROBS)
+    out["length_quantiles"] = f"""
+        WITH est AS ({_lq_est}),
+        exa AS (
+          SELECT quantile_cont(length(text), [{_lq_list}]) AS qs
+          FROM documents),
+        ex AS (
+          SELECT unnest([{_lq_probs}]) AS prob,
+                 round(unnest(qs), 4) AS exact
+          FROM exa)
+        SELECT est.prob, est.k, est.est, ex.exact
+        FROM est JOIN ex USING (prob)
+    """
     # NFC: same in-engine input construction (base64 -> U+0301), then
     # DuckDB's utf8proc NFC vs pandas str.normalize — both UAX #15
     out["nfc_normalize"] = """

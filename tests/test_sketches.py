@@ -224,3 +224,72 @@ def test_bloom_validation(spark):
         bloom_build(df, "tok", m_bits=100)
     with pytest.raises(ValueError, match="k must be"):
         bloom_build(df, "tok", k=0)
+
+
+# ---------------- histogram quantile sketch ----------------
+
+def test_hist_quantiles_error_bounded_by_bin_width(spark):
+    from vision_parse_spark.operators.sketches import hist_quantiles
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    lens = docs.select(F.length("text").alias("len"))
+    lo, hi = lens.agg(F.min("len"), F.max("len")).first()
+    width = (hi - lo) / 64
+    probs = [0.25, 0.5, 0.75, 0.95]
+    est = {r.prob: r.est
+           for r in hist_quantiles(lens, "len", probs, 64).collect()}
+    exact = docs.agg(F.expr(
+        "percentile(length(text), array(0.25D,0.5D,0.75D,0.95D))"
+    )).first()[0]
+    for p, ex in zip(probs, exact):
+        assert abs(est[p] - ex) <= width + 1e-9, (p, est[p], ex)
+
+
+def test_hist_quantiles_partition_invariance(spark):
+    from vision_parse_spark.operators.sketches import hist_quantiles
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 997).cast("double").alias("v"))
+    a = {(r.prob, r.k, r.est) for r in
+         hist_quantiles(df.coalesce(1), "v", [0.5, 0.9]).collect()}
+    b = {(r.prob, r.k, r.est) for r in
+         hist_quantiles(df.repartition(17), "v",
+                        [0.5, 0.9]).collect()}
+    assert a == b  # bin counts merge associatively — bit-equal
+
+
+def test_hist_quantiles_degenerate_constant_column(spark):
+    from vision_parse_spark.operators.sketches import hist_quantiles
+
+    df = spark.range(100).select(F.lit(42).alias("v"))
+    rows = hist_quantiles(df, "v", [0.5, 1.0]).collect()
+    assert {r.est for r in rows} == {42.0}
+    assert {r.k for r in rows} == {50, 100}
+
+
+def test_hist_quantiles_exact_on_uniform_grid(spark):
+    from vision_parse_spark.operators.sketches import hist_quantiles
+
+    # 0..63 with 64 bins: one value per bin, est within one width=1
+    df = spark.range(64).select(F.col("id").cast("double").alias("v"))
+    got = {r.prob: r.est
+           for r in hist_quantiles(df, "v", [0.5, 1.0], 64).collect()}
+    assert abs(got[0.5] - 31.5) <= 1.0
+    assert abs(got[1.0] - 63.0) <= 1.0
+
+
+def test_hist_quantiles_validation(spark):
+    from vision_parse_spark.operators.sketches import hist_quantiles
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="prob"):
+        hist_quantiles(df, "v", [])
+    with pytest.raises(ValueError, match="probs"):
+        hist_quantiles(df, "v", [0.0])
+    with pytest.raises(ValueError, match="duplicate"):
+        hist_quantiles(df, "v", [0.5, 0.5])
+    with pytest.raises(ValueError, match="n_bins"):
+        hist_quantiles(df, "v", [0.5], n_bins=1)
+    with pytest.raises(ValueError, match="empty"):
+        hist_quantiles(df.filter("v < 0"), "v", [0.5])

@@ -301,6 +301,133 @@ def bloom_probe(
     )
 
 
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    n_bins: int = 64,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch — the
+    distribution member of the sketch family (HLL = distinct,
+    CMS = frequency, Bloom = membership).  The 100 TB answer to
+    exact percentiles: ``percentile()`` needs a per-group global
+    sort of every value, while a histogram is ONE map-side-combining
+    count agg on a key bounded by ``n_bins`` — the exchange carries
+    at most ``n_bins`` rows per partition regardless of input size,
+    and bin counts merge associatively (integer sums, lossless
+    across executors, no float merge-order drift).
+
+    Two passes: an exact (min, max, count) agg (one row, collected —
+    control-plane, the kmeans/IVF precedent), then the bin-count
+    agg.  Estimate for prob p: rank ``k = ceil(p*n)`` clamped to
+    [1, n]; the first bin whose cumulative count reaches k, linearly
+    interpolated at ``lo + width * (b + (k - cum_prev)/cnt_b)``.
+    Guarantee: the k-th smallest value lies in that bin, so
+    ``|est - exact|  <= width = (max-min)/n_bins``.
+
+    The cumulative window runs over <= ``n_bins`` rows (its
+    SinglePartition exchange is bounded, never data-sized).  Every
+    float op is formed IN-ENGINE from double casts over exact
+    integer inputs, so the DuckDB replay (:func:`hist_quantiles_sql`)
+    is bit-identical — no decimal-literal parsing divergence.
+
+    Output: ``(prob, k, est)`` — one row per requested prob.
+    """
+    if not probs:
+        raise ValueError("hist_quantiles: need at least one prob")
+    if any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"hist_quantiles: probs {probs} must be in "
+                         "(0, 1]")
+    if len(set(probs)) != len(probs):
+        raise ValueError(f"hist_quantiles: duplicate probs {probs}")
+    if n_bins < 2:
+        raise ValueError(f"hist_quantiles: n_bins {n_bins} < 2")
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(col).cast("double").alias("v")) \
+             .filter(F.col("v").isNotNull())
+    lo, hi, n = vals.agg(F.min("v"), F.max("v"), F.count("v")) \
+                    .first()
+    if n == 0:
+        raise ValueError("hist_quantiles: empty input")
+
+    loD, hiD, nbD = F.lit(float(lo)), F.lit(float(hi)), \
+        F.lit(float(n_bins))
+    width = (hiD - loD) / nbD
+    b = F.when(width == 0.0, F.lit(0)).otherwise(
+        F.least(F.floor((F.col("v") - loD) / width),
+                F.lit(n_bins - 1))).cast("int")
+    bins = vals.groupBy(b.alias("b")) \
+               .agg(F.count(F.lit(1)).alias("cnt"))
+    cumw = (Window.orderBy("b")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    bins = bins.withColumn("cum", F.sum("cnt").over(cumw))
+
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(float(p),) for p in probs],
+                                "prob double")
+    pdf = pdf.withColumn(
+        "k", F.greatest(F.ceil(F.col("prob") * F.lit(float(n))),
+                        F.lit(1)).cast("long"))
+    sel = (pdf.join(F.broadcast(bins),
+                    F.col("cum") >= F.col("k"))
+              .groupBy("prob", "k").agg(F.min("b").alias("b"))
+              .join(F.broadcast(bins), "b"))
+    est = F.when(width == 0.0, loD).otherwise(
+        loD + width * (F.col("b")
+                       + (F.col("k") - (F.col("cum") - F.col("cnt")))
+                       / F.col("cnt")))
+    return sel.select("prob", "k", est.alias("est"))
+
+
+def hist_quantiles_sql(
+    value_expr: str,
+    src: str,
+    probs: list[float],
+    n_bins: int = 64,
+) -> str:
+    """DuckDB replay of :func:`hist_quantiles` — stats computed
+    in-engine (min/max/count are exact, so they equal the literals
+    Spark collected), identical double arithmetic throughout."""
+    values = ", ".join(f"(CAST({p} AS DOUBLE))" for p in probs)
+    return f"""
+        WITH vals AS (
+          SELECT CAST({value_expr} AS DOUBLE) AS v FROM {src}
+          WHERE {value_expr} IS NOT NULL),
+        st AS (
+          SELECT min(v) AS lo, max(v) AS hi,
+                 CAST(count(*) AS DOUBLE) AS nd,
+                 (max(v) - min(v)) / CAST({n_bins} AS DOUBLE) AS w
+          FROM vals),
+        bins AS (
+          SELECT CASE WHEN w = 0 THEN 0
+                      ELSE CAST(least(floor((v - lo) / w),
+                                      {n_bins - 1}) AS INTEGER) END
+                   AS b,
+                 count(*) AS cnt
+          FROM vals, st GROUP BY 1),
+        cb AS (
+          SELECT b, cnt,
+                 sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cum
+          FROM bins),
+        pr AS (
+          SELECT prob,
+                 greatest(CAST(ceil(prob * nd) AS BIGINT), 1) AS k
+          FROM (VALUES {values}) AS t(prob), st),
+        sel AS (
+          SELECT prob, k, min(b) AS b
+          FROM pr JOIN cb ON cb.cum >= pr.k GROUP BY prob, k)
+        SELECT sel.prob, sel.k,
+               CASE WHEN st.w = 0 THEN st.lo
+                    ELSE st.lo + st.w * (sel.b
+                         + (sel.k - (cb.cum - cb.cnt)) / cb.cnt) END
+                 AS est
+        FROM sel JOIN cb USING (b), st
+    """
+
+
 def bloom_sql(value_expr: str, src: str, probe_sql: str,
               probe_col: str, m_bits: int = 65536, k: int = 4) -> str:
     """DuckDB replay of ``bloom_build`` + ``bloom_probe``: returns
