@@ -1068,6 +1068,28 @@ def _q_nfc_normalize(spark, sf_dir):
         .alias("delta_chars"))
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Corpus encoding with the learned BPE vocabulary: learn the
+    12-merge table (control-plane loop, 12 rows collected), then
+    segment every document with one narrow codegen'd nested-fold
+    Project — zero shuffle on the encode pass.  Pieces are
+    string-rendered (the postings precedent: arrays don't hash
+    cross-engine).  Oracle: the bpe_merges CTE chain's final w12
+    vocabulary joined back onto per-doc word streams and flattened
+    in word order."""
+    from vision_parse_spark.operators.bpe import bpe_apply, bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    m = sorted(bpe_merges(d, n_merges=12).collect(),
+               key=lambda r: r.rank)
+    merges = [(r.left_sym, r.right_sym) for r in m]
+    enc = bpe_apply(d.select("doc_id", "text"), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_pieces"),
+        F.array_join("bpe_tokens", " ").alias("pieces_str"))
+
+
 _LQ_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -1240,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pagerank": _q_event_pagerank,
         "cohort_retention": _q_cohort_retention,
         "length_quantiles": _q_length_quantiles,
+        "bpe_encode": _q_bpe_encode,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1404,6 +1427,28 @@ def oracle_sql() -> dict[str, str]:
         f"FROM m{t}" for t in range(12))
     bpe_sql = ("WITH " + _bpe_ctes(12)
                + f"\nSELECT * FROM ({bpe_union})")
+
+    # bpe_encode: the same 12-round chain's FINAL vocabulary (w12 =
+    # word -> merged symbol list) joined back onto each document's
+    # word stream and flattened in word order; array_to_string([])
+    # is NULL in DuckDB, hence the coalesces for wordless docs.
+    bpe_encode_sql = ("WITH " + _bpe_ctes(12) + r""",
+        dt AS (
+          SELECT doc_id, ws[u.j + 1] AS word, u.j AS wi
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(
+                         lower(trim(text)), '\s+'), x -> x != '')
+                         AS ws
+                FROM documents),
+               unnest(range(len(ws))) AS u(j)),
+        enc AS (
+          SELECT doc_id, flatten(list(syms ORDER BY wi)) AS pieces
+          FROM dt JOIN w12 USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(len(pieces), 0) AS n_pieces,
+               coalesce(array_to_string(pieces, ' '), '')
+                 AS pieces_str
+        FROM documents d LEFT JOIN enc USING (doc_id)""")
 
     kmeans_sql = (
         "WITH " + _kmeans_ctes(8, 2)
@@ -2302,6 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_assign": kmeans_sql,
         "bpe_merges": bpe_sql,
+        "bpe_encode": bpe_encode_sql,
         "semdedup": semdedup_sql,
         "embedding_dup_clusters": f"""
             WITH RECURSIVE b AS (
