@@ -1090,6 +1090,46 @@ def _q_bpe_encode(spark, sf_dir):
         F.array_join("bpe_tokens", " ").alias("pieces_str"))
 
 
+def _q_vocab_growth(spark, sf_dir):
+    """Cumulative vocabulary growth by source (Heaps-law profile):
+    each type collapses to its first group via ONE map-side-combined
+    min(group) agg — the only corpus-sized shuffle — then bounded-key
+    counts and a |groups|-row running total.  All-integer, hash-exact.
+    n=3 (trigram types): the driver corpus's 31-token unigram
+    vocabulary saturates inside the first source, so the unigram
+    profile is a degenerate 1-row curve; trigram types grow across
+    all 20 sources and exercise the full operator."""
+    from vision_parse_spark.operators.corpus_stats import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _q_dialog_integrity(spark, sf_dir):
+    """Transcript well-formedness QA: starts-with-user + strict role
+    alternation per conversation.  Roles are derived
+    deterministically from the documents adapter (turn parity, with
+    violations injected where the portable md5 hash of the text is
+    ≡ 0 mod 7 — same derivation replayed by the oracle), so the
+    checked sequences contain real violations at every SF.  ONE
+    partitionBy(conv) shuffle: the lag window and the per-conv
+    collapse share the partitioning (the funnel pattern)."""
+    from pyspark.sql import Window
+    from vision_parse_spark.operators.temporal import dialog_integrity
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    h = F.expr("conv(substring(md5(text), 1, 15), 16, 10)") \
+         .cast("long")
+    t = (d.withColumn("turn_idx",
+                      (F.row_number().over(w) - 1).cast("int"))
+          .withColumn("_flip", (h % 7 == 0).cast("int"))
+          .select(F.col("source").alias("conv_id"), "turn_idx",
+                  F.when(((F.col("turn_idx") + F.col("_flip")) % 2)
+                         == 0, "user")
+                   .otherwise("assistant").alias("role")))
+    return dialog_integrity(t)
+
+
 _LQ_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -1263,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "length_quantiles": _q_length_quantiles,
         "bpe_encode": _q_bpe_encode,
+        "vocab_growth": _q_vocab_growth,
+        "dialog_integrity": _q_dialog_integrity,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2980,6 +3022,57 @@ def oracle_sql() -> dict[str, str]:
           FROM exa)
         SELECT est.prob, est.k, est.est, ex.exact
         FROM est JOIN ex USING (prob)
+    """
+    out["vocab_growth"] = r"""
+        WITH toks AS (
+          SELECT source, list_filter(string_split_regex(
+                   lower(trim(text)), '\s+'), x -> x != '') AS t
+          FROM documents),
+        first AS (
+          SELECT tok, min(source) AS g FROM (
+            SELECT source,
+                   unnest(list_transform(range(len(t) - 2),
+                     i -> array_to_string(t[i + 1 : i + 3], ' ')))
+                     AS tok
+            FROM toks WHERE len(t) >= 3)
+          GROUP BY tok),
+        pg AS (SELECT g, count(*) AS new_types FROM first GROUP BY g)
+        SELECT g AS source, new_types,
+               CAST(sum(new_types) OVER (ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_vocab
+        FROM pg
+    """
+    out["dialog_integrity"] = """
+        WITH t AS (
+          SELECT source AS conv_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id) - 1 AS turn_idx,
+                 CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+                   AS h
+          FROM documents),
+        r AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN (turn_idx + CASE WHEN h % 7 = 0 THEN 1
+                                            ELSE 0 END) % 2 = 0
+                      THEN 'user' ELSE 'assistant' END AS role
+          FROM t),
+        l AS (
+          SELECT conv_id, role,
+                 lag(role) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev
+          FROM r),
+        a AS (
+          SELECT conv_id, count(*) AS n_turns,
+                 CAST(max(CASE WHEN prev IS NULL THEN
+                     CAST(role = 'user' AS INTEGER) END) AS INTEGER)
+                   AS starts_ok,
+                 CAST(sum(coalesce(CAST(role = prev AS INTEGER), 0))
+                      AS BIGINT) AS n_violations
+          FROM l GROUP BY conv_id)
+        SELECT conv_id, n_turns, starts_ok, n_violations,
+               CAST(n_violations = 0 AS INTEGER) AS alternation_ok
+        FROM a
     """
     # NFC: same in-engine input construction (base64 -> U+0301), then
     # DuckDB's utf8proc NFC vs pandas str.normalize — both UAX #15

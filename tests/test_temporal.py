@@ -186,3 +186,41 @@ def test_validation_rejects_bad_inputs(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(good, good, "user_id", "ts", "event_id",
                   ["event_id"])
+
+
+# ---------------- dialog integrity ----------------
+
+def test_dialog_integrity_hand_cases(spark):
+    from vision_parse_spark.operators.temporal import dialog_integrity
+
+    t = spark.createDataFrame(
+        [("X", 0, "user"), ("X", 1, "assistant"), ("X", 2, "user"),
+         ("Y", 0, "assistant"), ("Y", 1, "assistant"),
+         ("Z", 0, "user"), ("Z", 1, "user"), ("Z", 2, "user")],
+        "conv_id string, turn_idx int, role string")
+    got = {r.conv_id: r for r in dialog_integrity(t).collect()}
+    assert (got["X"].n_turns, got["X"].starts_ok,
+            got["X"].n_violations, got["X"].alternation_ok) == (3, 1, 0, 1)
+    assert (got["Y"].starts_ok, got["Y"].n_violations,
+            got["Y"].alternation_ok) == (0, 1, 0)
+    assert (got["Z"].starts_ok, got["Z"].n_violations) == (1, 2)
+
+
+def test_dialog_integrity_order_by_turn_not_input(spark):
+    from vision_parse_spark.operators.temporal import dialog_integrity
+
+    # rows arrive shuffled; sequence semantics must follow turn_idx
+    t = spark.createDataFrame(
+        [("C", 2, "user"), ("C", 0, "user"), ("C", 1, "assistant")],
+        "conv_id string, turn_idx int, role string").repartition(7)
+    r = dialog_integrity(t).collect()[0]
+    assert (r.starts_ok, r.n_violations) == (1, 0)
+
+
+def test_dialog_integrity_custom_first_role(spark):
+    from vision_parse_spark.operators.temporal import dialog_integrity
+
+    t = spark.createDataFrame([("C", 0, "system")],
+                              "conv_id string, turn_idx int, role string")
+    r = dialog_integrity(t, first_role="system").collect()[0]
+    assert r.starts_ok == 1

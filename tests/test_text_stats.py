@@ -337,3 +337,32 @@ def test_bigram_logprob_catches_order_stuffing(spark):
     un = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
     assert abs(un[0] - un[3]) < 0.01       # unigram: same bag, same score
     assert bi[0] - bi[3] > 0.5             # bigram: alien order collapses
+
+
+def test_vocab_growth_hand_corpus(spark):
+    from vision_parse_spark.operators.corpus_stats import vocab_growth
+
+    d = spark.createDataFrame(
+        [("A", "a b"), ("A", "b c"), ("B", "c d"), ("C", "   ")],
+        "source string, text string")
+    rows = {r.source: (r.new_types, r.cum_vocab)
+            for r in vocab_growth(d).collect()}
+    # every type credits its lexicographically FIRST source
+    assert rows == {"A": (3, 3), "B": (1, 4)}
+    # n=2: bigram types "a b", "b c" (A), "c d" (B); short/empty
+    # docs (< n tokens) contribute nothing
+    rows2 = {r.source: (r.new_types, r.cum_vocab)
+             for r in vocab_growth(d, n=2).collect()}
+    assert rows2 == {"A": (2, 2), "B": (1, 3)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must be"):
+        vocab_growth(d, n=0)
+
+
+def test_vocab_growth_partition_invariance(spark):
+    from vision_parse_spark.operators.corpus_stats import vocab_growth
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, vocab_growth(d.coalesce(1)).collect()))
+    b = sorted(map(tuple, vocab_growth(d.repartition(13)).collect()))
+    assert a == b

@@ -314,3 +314,50 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     return (scored.groupBy(id_col)
                   .agg(F.count(F.lit(1)).alias("n_tok"),
                        F.round(F.avg(lp), 4).alias("avg_logprob")))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source", n: int = 1) -> DataFrame:
+    """Cumulative vocabulary growth across groups (the Heaps-law
+    profile a tokenizer audit runs): groups are visited in
+    lexicographic order; each row reports how many NEW token types
+    the group contributes and the cumulative vocabulary so far.
+    ``n`` sets the type granularity — 1 = unigram vocabulary,
+    ``n>1`` = word n-gram types (the :func:`top_ngrams` gram recipe),
+    useful when the unigram vocabulary saturates in the first shard.
+
+    Scale shape (100 TB): each token type collapses to its FIRST
+    group via one map-side-combined ``min(group)`` agg — the only
+    corpus-sized shuffle, carrying one row per distinct type.  The
+    per-group new-type counts then aggregate on the BOUNDED group
+    key, and the running total is a window over |groups| rows
+    (control-plane-sized).  All-integer output — hash-exact.
+
+    Output: ``(group_col, new_types, cum_vocab)``, one row per group
+    that contains at least one token (n-gram for ``n>1``).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"vocab_growth: n must be >= 1, got {n}")
+    if n == 1:
+        typed = df.select(F.col(group_col).alias("g"),
+                          F.explode(ws_tokens(text_col)).alias("tok"))
+    else:
+        grams = F.expr(
+            f"transform(sequence(0, size(_toks) - {n}), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))")
+        typed = (df.select(F.col(group_col).alias("g"),
+                           ws_tokens(text_col).alias("_toks"))
+                   .filter(F.size("_toks") >= n)
+                   .select("g", F.explode(grams).alias("tok")))
+    first = typed.groupBy("tok").agg(F.min("g").alias("g"))
+    per_group = (first.groupBy("g")
+                      .agg(F.count(F.lit(1)).alias("new_types")))
+    cum = (Window.orderBy("g")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+    return (per_group
+            .withColumn("cum_vocab", F.sum("new_types").over(cum))
+            .select(F.col("g").alias(group_col), "new_types",
+                    "cum_vocab"))

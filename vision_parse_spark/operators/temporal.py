@@ -210,3 +210,46 @@ def funnel(
              .withColumn("stage_reached",
                          sum((F.col(c).isNotNull().cast("int")
                               for c in cols), F.lit(0))))
+
+
+def dialog_integrity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    first_role: str = "user",
+) -> DataFrame:
+    """Per-conversation role-sequence QA — the transcript
+    well-formedness check an ingestion pipeline runs before
+    training on dialog data: does the conversation start with
+    ``first_role``, and do roles strictly alternate?
+
+    Output: one row per conversation —
+    ``(conv_col, n_turns, starts_ok, n_violations, alternation_ok)``
+    where a violation is a turn whose role equals the previous
+    turn's role (ordered by ``turn_col``).
+
+    Scale shape: ONE ``partitionBy(conv)`` window (shared ordering
+    for lag + first) and a per-conv collapse that reuses the same
+    partitioning — a single shuffle of the transcript relation, the
+    ``funnel`` pattern.  Determinism: ``turn_col`` is the unique
+    in-conv order key (the key invariant every transcript op here
+    relies on), so the lag stream is partition-order free.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    d = (df.select(conv_col, turn_col, F.col(role_col).alias("_r"))
+           .withColumn("_prev", F.lag("_r").over(w)))
+    qr = first_role.replace("'", "\\'")
+    return (d.groupBy(conv_col)
+             .agg(F.count(F.lit(1)).alias("n_turns"),
+                  F.max(F.expr(
+                      f"case when _prev is null then "
+                      f"cast(_r = '{qr}' as int) end"))
+                  .cast("int").alias("starts_ok"),
+                  F.sum(F.coalesce((F.col("_r") == F.col("_prev"))
+                                   .cast("int"), F.lit(0)))
+                  .cast("long").alias("n_violations"))
+             .withColumn("alternation_ok",
+                         (F.col("n_violations") == 0).cast("int")))
