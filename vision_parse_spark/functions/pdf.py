@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import base64
 import re
+import struct
 import zlib
 from typing import Callable, NamedTuple
 
@@ -1149,13 +1150,29 @@ def extract_pdf_images(data: bytes,
                 skip(page_idx, name, "filter_cascade_failed")
                 continue
             filters = _filters_of(body)
-            codec = next((f for f in filters
-                          if f in (b"JPXDecode", b"JBIG2Decode")), None)
-            if codec is not None:
-                # no JPEG2000/JBIG2 decoder in this environment: an
-                # honest, VISIBLE skip (error channel), never silence
-                skip(page_idx, name,
-                     f"no_decoder:{codec.decode('latin-1')}")
+            if b"JBIG2Decode" in filters:
+                # from-scratch generic-region JBIG2 (functions/
+                # jbig2.py): MQ-arithmetic + MMR regions decode; the
+                # symbol/text/halftone classes stay an honest,
+                # VISIBLE skip in the error channel
+                try:
+                    from .jbig2 import decode_jbig2_embedded
+
+                    gl = b""
+                    gm = re.search(
+                        rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", body)
+                    if gm:
+                        gl = _decode_stream(objs.get(int(gm.group(1))))
+                    out.append((page_idx, name.decode("latin-1"),
+                                decode_jbig2_embedded(raw, gl)))
+                except (ValueError, NotImplementedError,
+                        struct.error) as e:
+                    skip(page_idx, name, f"jbig2_decode_failed:{e}")
+                continue
+            if b"JPXDecode" in filters:
+                # no JPEG2000 decoder in this environment: an honest,
+                # VISIBLE skip (error channel), never silence
+                skip(page_idx, name, "no_decoder:JPXDecode")
                 continue
             if b"DCTDecode" in filters or b"DCT" in filters:
                 # JPEG-compressed XObject: the cascade stopped at the
