@@ -1130,6 +1130,52 @@ def _q_dialog_integrity(spark, sf_dir):
     return dialog_integrity(t)
 
 
+def _q_leak_safe_split(spark, sf_dir):
+    """Near-dup-leakage-safe train/test split: connected components
+    over the verified MinHash near-dup pair graph assign every
+    document a cluster representative (min reachable id); the md5
+    split bucket hashes the REPRESENTATIVE, so an entire near-dup
+    cluster lands in one split and the eval set can't contain soft
+    copies of training rows.  Singletons hash on their own key —
+    identical to hash_split.  Oracle: the recursive-CTE transitive
+    closure (dup_clusters replay) left-joined back, same bucket."""
+    from vision_parse_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+    from vision_parse_spark.operators.sampling import leak_safe_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs_portable(d)
+    return (leak_safe_split(d, pairs, train_frac=0.8)
+            .select("doc_id", "rep_id", "split"))
+
+
+def _q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit: learn the 12-merge BPE table
+    (control-plane loop), encode with the narrow fold Project, then
+    collapse per source — pieces/word and chars/piece per shard, the
+    standard pre-commit vocabulary check.  All counts exact integer
+    sums; ratios are single double divisions, bit-identical in the
+    DuckDB replay (w12 vocabulary joined onto per-doc word streams)."""
+    from vision_parse_spark.operators.bpe import bpe_fertility, bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    m = sorted(bpe_merges(d, n_merges=12).collect(),
+               key=lambda r: r.rank)
+    merges = [(r.left_sym, r.right_sym) for r in m]
+    return bpe_fertility(d.select("source", "text"), merges)
+
+
+def _q_flesch_kincaid(spark, sf_dir):
+    """Flesch–Kincaid grade per document — readability signal for
+    the quality-filter stack; narrow regex-only Project (zero
+    shuffle, zero Python), exact integer counts + one fixed-order
+    double expression, rounded to 4 decimals."""
+    from vision_parse_spark.operators.selection import flesch_kincaid
+
+    return flesch_kincaid(_t(spark, sf_dir, "documents"))
+
+
 _LQ_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -1305,6 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "vocab_growth": _q_vocab_growth,
         "dialog_integrity": _q_dialog_integrity,
+        "leak_safe_split": _q_leak_safe_split,
+        "bpe_fertility": _q_bpe_fertility,
+        "flesch_kincaid": _q_flesch_kincaid,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3073,6 +3122,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT conv_id, n_turns, starts_ok, n_violations,
                CAST(n_violations = 0 AS INTEGER) AS alternation_ok
         FROM a
+    """
+    # leak-safe split: same transitive-closure clustering as
+    # dup_clusters, then the hash_split bucket taken on the cluster
+    # representative (coalesce to own id for singletons)
+    out["leak_safe_split"] = f"""
+        WITH RECURSIVE {_mh_pairs_cte()},
+        sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                UNION SELECT id_b, id_a FROM ver),
+        reach AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        cc AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               coalesce(cc.cluster_id, d.doc_id) AS rep_id,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(
+                        coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 1000 < 800
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN cc USING (doc_id)
+    """
+    # tokenizer fertility: the bpe_encode chain's w12 vocabulary
+    # joined onto per-doc word streams, collapsed per source; counts
+    # are exact integer sums, ratios single double divisions
+    out["bpe_fertility"] = ("WITH " + _bpe_ctes(12) + r""",
+        dt AS (
+          SELECT doc_id, source, ws[u.j + 1] AS word
+          FROM (SELECT doc_id, source,
+                       list_filter(string_split_regex(
+                         lower(trim(text)), '\s+'), x -> x != '')
+                         AS ws
+                FROM documents),
+               unnest(range(len(ws))) AS u(j)),
+        pw AS (
+          SELECT dt.doc_id,
+                 count(*) AS w,
+                 CAST(sum(length(word)) AS BIGINT) AS c,
+                 CAST(sum(len(syms)) AS BIGINT) AS p
+          FROM dt JOIN w12 USING (word) GROUP BY dt.doc_id),
+        per AS (
+          SELECT d.source, coalesce(w, 0) AS w, coalesce(c, 0) AS c,
+                 coalesce(p, 0) AS p
+          FROM documents d LEFT JOIN pw USING (doc_id))
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               CAST(sum(p) AS BIGINT) AS n_pieces,
+               round(CAST(sum(p) AS BIGINT)
+                     / nullif(CAST(sum(w) AS BIGINT), 0), 6)
+                 AS pieces_per_word,
+               round(CAST(sum(c) AS BIGINT)
+                     / nullif(CAST(sum(p) AS BIGINT), 0), 6)
+                 AS chars_per_piece
+        FROM per GROUP BY source""")
+    out["flesch_kincaid"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(len(list_filter(string_split_regex(
+                     lower(trim(text)), '\s+'), x -> x != ''))
+                     AS BIGINT)) AS n_words,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(len(regexp_extract_all(lower(trim(text)),
+                     '[.!?]+')) AS BIGINT)) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(trim(text)),
+                   '[aeiouy]+')) AS BIGINT) AS n_syllables
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(CAST(0.39 AS DOUBLE) * (n_words / n_sentences)
+                     + CAST(11.8 AS DOUBLE) * (n_syllables / n_words)
+                     - CAST(15.59 AS DOUBLE), 4) AS fk_grade
+        FROM c
     """
     # NFC: same in-engine input construction (base64 -> U+0301), then
     # DuckDB's utf8proc NFC vs pandas str.normalize — both UAX #15

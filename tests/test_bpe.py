@@ -103,3 +103,19 @@ def test_bpe_apply_matches_python_encoder(spark):
                 syms = _apply_merge(syms, a, b)
             pieces.extend(syms)
         assert got[doc_id] == pieces, doc_id
+
+
+def test_bpe_fertility_hand_corpus(spark):
+    from vision_parse_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame(
+        [("X", "ab ab c"), ("Y", "   ")], ["source", "text"])
+    rows = {r.source: r
+            for r in bpe_fertility(df, [("a", "b")]).collect()}
+    x = rows["X"]
+    assert (x.n_docs, x.n_words, x.n_chars, x.n_pieces) == (1, 3, 5, 3)
+    assert x.pieces_per_word == 1.0
+    assert x.chars_per_piece == round(5 / 3, 6)
+    y = rows["Y"]          # wordless doc still counts, ratios NULL
+    assert (y.n_docs, y.n_words, y.n_pieces) == (1, 0, 0)
+    assert y.pieces_per_word is None and y.chars_per_piece is None

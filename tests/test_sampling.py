@@ -151,3 +151,35 @@ def test_resample_mixture_validation(spark):
         resample_mixture(df, "source", {"a": 0.0})
     with pytest.raises(ValueError):
         resample_mixture(df, "source", {"a": 0.5, "ghost": 0.5})
+
+
+def test_leak_safe_split_cluster_atomicity(spark):
+    from vision_parse_spark.operators.sampling import (
+        leak_safe_split, with_split)
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 7)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  ["id_a", "id_b"])
+    out = {r.doc_id: r for r in
+           leak_safe_split(docs, pairs).collect()}
+    # whole cluster takes the representative (min reachable id)
+    assert [out[i].rep_id for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i].rep_id for i in (5, 6)] == [5, 5]
+    assert out[4].rep_id == 4                  # singleton = own key
+    # every cluster member lands in the SAME split
+    assert len({out[i].split for i in (1, 2, 3)}) == 1
+    assert len({out[i].split for i in (5, 6)}) == 1
+    # singleton split equals the plain keyed split (same bucket)
+    plain = {r.doc_id: r.split
+             for r in with_split(docs, "doc_id").collect()}
+    assert out[4].split == plain[4]
+
+
+def test_leak_safe_split_validation(spark):
+    from vision_parse_spark.operators.sampling import leak_safe_split
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 1)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="train_frac"):
+        leak_safe_split(docs, pairs, train_frac=1.5)

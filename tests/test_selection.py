@@ -148,3 +148,29 @@ def test_c4_filters_no_shuffle(spark):
     plan = (c4_filters(docs)._jdf.queryExecution().executedPlan()
             .toString())
     assert "Exchange" not in plan
+
+
+def test_flesch_kincaid_hand_values(spark):
+    from vision_parse_spark.operators.selection import flesch_kincaid
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, ""), (3, "zzz pfft")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in flesch_kincaid(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (5, 2, 5)
+    assert r1.fk_grade == round(0.39 * (5 / 2) + 11.8 * 1.0 - 15.59, 4)
+    # empty text: clamped denominators, zero syllables
+    assert (got[2].n_words, got[2].n_sentences) == (1, 1)
+    assert got[2].fk_grade == round(0.39 + 0.0 - 15.59, 4)
+    # vowel-less words: zero syllable groups, still scored
+    assert got[3].n_syllables == 0
+
+
+def test_flesch_kincaid_no_shuffle(spark):
+    from vision_parse_spark.operators.selection import flesch_kincaid
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (flesch_kincaid(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan

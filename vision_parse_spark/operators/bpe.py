@@ -126,3 +126,49 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
     expr = (f"flatten(transform({ws_tokens_sql(text_col)}, "
             f"w -> {inner}))")
     return df.withColumn(out_col, F.expr(expr))
+
+
+def bpe_fertility(df: DataFrame, merges: list[tuple[str, str]],
+                  text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """Tokenizer fertility audit per group — the standard check run
+    before committing to a vocabulary (how many pieces per word does
+    each source pay, how many characters does one piece carry?).
+    High fertility on a source means the vocabulary under-serves it
+    (classic symptom: non-English or code shards tokenized nearly
+    char-by-char).
+
+    Scale shape (100 TB): the encode pass is :func:`bpe_apply`'s
+    narrow codegen'd fold Project (zero shuffle), and the collapse is
+    one map-side-combined agg on the BOUNDED group key.  All counts
+    are exact integer sums; the two ratios are single double
+    divisions of exact integers — bit-identical on any engine.
+
+    Output: ``(group_col, n_docs, n_words, n_chars, n_pieces,
+    pieces_per_word, chars_per_piece)``.
+    """
+    from ..functions.text_stats import ws_tokens
+
+    enc = bpe_apply(df.select(F.col(group_col).alias("g"),
+                              F.col(text_col).alias("_txt")),
+                    merges, text_col="_txt")
+    toks = ws_tokens("_txt")
+    per_doc = enc.select(
+        "g",
+        F.size(toks).cast("long").alias("_w"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("_c"),
+        F.size("bpe_tokens").cast("long").alias("_p"))
+    agg = (per_doc.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_w").alias("n_words"),
+                F.sum("_c").alias("n_chars"),
+                F.sum("_p").alias("n_pieces")))
+    return agg.select(
+        F.col("g").alias(group_col), "n_docs", "n_words", "n_chars",
+        "n_pieces",
+        F.round(F.col("n_pieces") / F.nullif(F.col("n_words"),
+                                             F.lit(0)), 6)
+         .alias("pieces_per_word"),
+        F.round(F.col("n_chars") / F.nullif(F.col("n_pieces"),
+                                            F.lit(0)), 6)
+         .alias("chars_per_piece"))

@@ -134,3 +134,51 @@ def hash_sample(
     predicate that pushes ahead of downstream shuffles."""
     return df.filter(hash_bucket(key_col, buckets)
                      < int(fraction * buckets))
+
+
+def leak_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    train_frac: float = 0.8,
+    buckets: int = 1000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate-safe train/test split: a naive keyed split
+    (:func:`with_split`) leaks when two near-duplicate documents land
+    on opposite sides — the eval set then contains soft copies of
+    training rows and scores are inflated.  Here every document is
+    first mapped to its duplicate-cluster representative (connected
+    components over the verified near-dup ``pairs`` graph, min
+    reachable id — :func:`~.dedup.dup_clusters`), and the split hash
+    is taken on the REPRESENTATIVE, so an entire near-dup cluster
+    always lands in one split.  Singletons (no near-dup) hash on
+    their own key, matching :func:`with_split` exactly.
+
+    Scale shape (100 TB): the cluster relation holds one row per
+    document that appears in >= 1 verified pair (a small fraction of
+    the corpus, but corpus-scaling — joined with a regular shuffle
+    hash join on ``key_col``, NOT broadcast).  The split itself stays
+    a narrow md5-bucket predicate, partition-invariant and
+    engine-portable.  One data-sized shuffle beyond what the pair
+    graph itself cost.
+
+    Output: ``df`` columns + ``rep_id`` (the split key actually
+    hashed) + ``out_col`` ('train' / 'test').
+    """
+    from .dedup import dup_clusters
+
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError(f"train_frac out of [0,1]: {train_frac}")
+    reps = (dup_clusters(pairs)
+            .select(F.col("doc_id").alias("_lss_key"),
+                    F.col("cluster_id").alias("_lss_rep")))
+    joined = df.join(reps, df[key_col] == reps["_lss_key"], "left")
+    out = (joined.withColumn(
+               "rep_id", F.coalesce(F.col("_lss_rep"), F.col(key_col)))
+           .drop("_lss_key", "_lss_rep"))
+    b = hash_bucket("rep_id", buckets)
+    return out.withColumn(
+        out_col,
+        F.when(b < int(train_frac * buckets), F.lit("train"))
+        .otherwise(F.lit("test")))
