@@ -451,6 +451,59 @@ def main():
         grab(co),
     ))
 
+    from vision_parse_spark.operators.corpus_stats import vocab_growth
+
+    vg = vocab_growth(docs, n=3)
+    sections.append((
+        "Vocabulary growth profile (vocab_growth)",
+        "round 6, Heaps' law.  The corpus-sized work is ONE "
+        "map-side-combined min(group) agg over the exploded type "
+        "stream — one row per distinct type crosses the wire; the "
+        "per-group new-type counts then aggregate on the BOUNDED "
+        "group key and the running total is a window over |groups| "
+        "rows (the single-partition WindowExec below is "
+        "control-plane-sized by construction — 20 rows here, "
+        "|sources| at 100 TB).",
+        grab(vg),
+    ))
+
+    from vision_parse_spark.operators.dedup import (
+        minhash_lsh_pairs_portable)
+    from vision_parse_spark.operators.sampling import leak_safe_split
+
+    lss = leak_safe_split(docs.select("doc_id", "text"),
+                          minhash_lsh_pairs_portable(
+                              docs.select("doc_id", "text")))
+    sections.append((
+        "Leakage-safe split (leak_safe_split)",
+        "round 6.  The split itself adds ONE shuffle hash join "
+        "(docs x cluster-representatives, corpus-scaling so never "
+        "broadcast) plus a narrow md5-bucket Project on top of the "
+        "dup_clusters machinery; the md5 predicate is "
+        "partition-invariant so the assignment is stable across "
+        "runs, engines and cluster sizes.",
+        grab(lss),
+    ))
+
+    from vision_parse_spark.operators.temporal import dialog_integrity
+
+    di = dialog_integrity(
+        docs.selectExpr("source as conv_id",
+                        "cast(doc_id as int) as turn_idx",
+                        "'user' as role"))
+    sections.append((
+        "Dialog integrity QA (dialog_integrity)",
+        "round 6.  ONE partitionBy(conv) Exchange shared by the lag "
+        "window and the per-conv collapse (the funnel pattern): the "
+        "aggregation's required distribution is already satisfied "
+        "by the window's, so adding the QA columns costs a single "
+        "shuffle of the transcript relation.  flesch_kincaid and "
+        "bpe_fertility's encode pass need no section: narrow "
+        "codegen'd Projects, zero Exchange (CI-asserted for "
+        "flesch_kincaid in test_selection).",
+        grab(di),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")
