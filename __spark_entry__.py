@@ -1176,6 +1176,68 @@ def _q_flesch_kincaid(spark, sf_dir):
     return flesch_kincaid(_t(spark, sf_dir, "documents"))
 
 
+def _q_script_profile(spark, sf_dir):
+    """Per-doc writing-system profile over a deterministically
+    multi-scripted corpus: docs get a Cyrillic / CJK / Arabic / none
+    suffix by md5(text) % 4 (built in-engine from base64 on BOTH
+    sides — the nfc_normalize precedent), so every script counter
+    and the dominant-script tiebreak do real work at every SF.
+    Narrow regexp Project, all-integer counts — hash-exact."""
+    from vision_parse_spark.operators.selection import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.expr("conv(substring(md5(text), 1, 15), 16, 10)") \
+         .cast("long") % 4
+    suffix = (
+        F.when(h == 0, F.expr("decode(unbase64("
+                              "'0J/RgNC40LLQtdGCINC80LjRgA=='), "
+                              "'UTF-8')"))          # Привет мир
+        .when(h == 1, F.expr("decode(unbase64('5L2g5aW95LiW55WM'),"
+                             " 'UTF-8')"))          # 你好世界
+        .when(h == 2, F.expr("decode(unbase64('2YXYsdit2KjYpw=='),"
+                             " 'UTF-8')"))          # مرحبا
+        .otherwise(F.lit("")))
+    aug = d.select("doc_id",
+                   F.concat(F.substring("text", 1, 60), F.lit(" "),
+                            suffix).alias("text"))
+    return script_profile(aug)
+
+
+def _q_sentence_dedup(spark, sf_dir):
+    """Intra-document sentence dedup: the corpus is augmented with a
+    guaranteed self-repetition (a 50-char prefix sentence appended
+    TWICE, same construction on both sides) so the keep-first filter
+    does real work on every row.  Entirely narrow HOF Project —
+    zero shuffle, zero Python."""
+    from vision_parse_spark.operators.spans import dedup_sentences
+
+    d = _t(spark, sf_dir, "documents")
+    frag = F.substring("text", 1, 50)
+    aug = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". "), frag, F.lit(". "),
+                 frag, F.lit("!")).alias("text"))
+    return dedup_sentences(aug)
+
+
+def _q_exact_substring_hits(spark, sf_dir):
+    """Exact-substring decontamination (the GPT-3 appendix-C rule):
+    eval fragments are 40-char slices of the first five documents;
+    the fragment set BROADCASTS and the corpus side is a narrow
+    codegen'd contains scan — no corpus shuffle.  Self-hits are
+    guaranteed; the driver corpus's duplicate texts add genuine
+    cross-document contamination rows."""
+    from vision_parse_spark.operators.decontaminate import (
+        exact_substring_hits,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    frags = (d.filter(F.col("doc_id") < 5)
+              .select(F.col("doc_id").alias("frag_id"),
+                      F.substring("text", 20, 40).alias("fragment")))
+    return exact_substring_hits(d, frags)
+
+
 _LQ_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -1354,6 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_safe_split": _q_leak_safe_split,
         "bpe_fertility": _q_bpe_fertility,
         "flesch_kincaid": _q_flesch_kincaid,
+        "script_profile": _q_script_profile,
+        "sentence_dedup": _q_sentence_dedup,
+        "exact_substring_hits": _q_exact_substring_hits,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3180,6 +3245,75 @@ def oracle_sql() -> dict[str, str]:
                      / nullif(CAST(sum(p) AS BIGINT), 0), 6)
                  AS chars_per_piece
         FROM per GROUP BY source""")
+    # script_profile: same md5 % 4 suffix injection (base64-built
+    # unicode, the nfc_normalize precedent); explicit code-point
+    # ranges so RE2 and java.util.regex count identically; dominant =
+    # first script reaching the max (the operator's strict-> chain)
+    _SCRIPT_SQL = [
+        ("latin", "[A-Za-zÀ-ɏ]"), ("cyrillic", "[Ѐ-ӿ]"),
+        ("greek", "[Ͱ-Ͽ]"), ("arabic", "[؀-ۿ]"),
+        ("hebrew", "[֐-׿]"), ("devanagari", "[ऀ-ॿ]"),
+        ("cjk", "[一-鿿]"), ("kana", "[぀-ヿ]"),
+        ("hangul", "[가-힯]"),
+    ]
+    _counts = ",\n                 ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+        f" AS n_{name}" for name, pat in _SCRIPT_SQL)
+    _gmax = "greatest(" + ", ".join(
+        f"n_{name}" for name, _ in _SCRIPT_SQL) + ")"
+    _dom = "CASE WHEN " + _gmax + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{name} = {_gmax} THEN '{name}'"
+        for name, _ in _SCRIPT_SQL) + " END"
+    out["script_profile"] = f"""
+        WITH a AS (
+          SELECT doc_id,
+                 substring(text, 1, 60) || ' ' ||
+                 CASE CAST(('0x' || substring(md5(text), 1, 15))
+                           AS BIGINT) % 4
+                   WHEN 0 THEN decode(from_base64(
+                     '0J/RgNC40LLQtdGCINC80LjRgA=='))
+                   WHEN 1 THEN decode(from_base64(
+                     '5L2g5aW95LiW55WM'))
+                   WHEN 2 THEN decode(from_base64(
+                     '2YXYsdit2KjYpw=='))
+                   ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 {_counts}
+          FROM a)
+        SELECT *, {_dom} AS dominant_script FROM c
+    """
+    out["sentence_dedup"] = r"""
+        WITH a AS (
+          SELECT doc_id,
+                 text || '. ' || substring(text, 1, 50) || '. '
+                      || substring(text, 1, 50) || '!' AS t
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   string_split_regex(t, '[.!?]+(\s+|$)'),
+                   x -> trim(x)), x -> x != '') AS sents
+          FROM a)
+        SELECT doc_id,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               CAST(len(list_filter(sents, (x, i) ->
+                 list_position(sents[1:i-1], x) = 0))
+                 AS BIGINT) AS n_unique,
+               coalesce(array_to_string(list_filter(sents, (x, i) ->
+                 list_position(sents[1:i-1], x) = 0), ' '), '')
+                 AS dedup_text
+        FROM s
+    """
+    out["exact_substring_hits"] = """
+        SELECT d.doc_id, f.frag_id
+        FROM documents d
+        JOIN (SELECT doc_id AS frag_id,
+                     substring(text, 20, 40) AS fragment
+              FROM documents WHERE doc_id < 5) f
+          ON contains(d.text, f.fragment)
+    """
     out["flesch_kincaid"] = r"""
         WITH c AS (
           SELECT doc_id,

@@ -88,3 +88,33 @@ def test_arrow_shingles_equal_catalyst_shingles(spark):
                              make_shingle_udf(n)(F.col("text")).alias("s"))
                  .collect()}
         assert cat == arrow, f"n={n}"
+
+
+def test_exact_substring_hits(spark):
+    from vision_parse_spark.operators.decontaminate import (
+        exact_substring_hits)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "brown fox jumps"),
+         (3, "nothing shared")],
+        ["doc_id", "text"])
+    frags = spark.createDataFrame(
+        [(10, "brown fox"), (11, "zebra")], ["frag_id", "fragment"])
+    got = sorted((r.doc_id, r.frag_id)
+                 for r in exact_substring_hits(corpus, frags).collect())
+    assert got == [(1, 10), (2, 10)]
+
+
+def test_exact_substring_hits_broadcasts_fragments(spark):
+    from vision_parse_spark.operators.decontaminate import (
+        exact_substring_hits)
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    frags = corpus.limit(2).selectExpr(
+        "doc_id as frag_id", "substring(text, 5, 30) as fragment")
+    plan = (exact_substring_hits(corpus, frags)
+            ._jdf.queryExecution().executedPlan().toString())
+    # fragment side broadcast, corpus never shuffles
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning" not in plan

@@ -174,3 +174,30 @@ def test_flesch_kincaid_no_shuffle(spark):
     plan = (flesch_kincaid(docs)._jdf.queryExecution().executedPlan()
             .toString())
     assert "Exchange" not in plan
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from vision_parse_spark.operators.selection import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello Привет мир"), (2, "你好世界 ok"), (3, "123 !?"),
+         (4, "ab ЯЯ")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    assert (got[1].n_latin, got[1].n_cyrillic) == (5, 9)
+    assert got[1].dominant_script == "cyrillic"
+    assert (got[2].n_cjk, got[2].n_latin) == (4, 2)
+    assert got[2].dominant_script == "cjk"
+    assert got[3].dominant_script == "none"      # no scripted char
+    # tie (2 latin vs 2 cyrillic): first-listed script wins
+    assert (got[4].n_latin, got[4].n_cyrillic) == (2, 2)
+    assert got[4].dominant_script == "latin"
+
+
+def test_script_profile_no_shuffle(spark):
+    from vision_parse_spark.operators.selection import script_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (script_profile(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan

@@ -193,3 +193,25 @@ def test_line_dedup_all_lines_removed(spark):
     assert out[9].clean_text == ""
     assert out[9].n_removed_lines == 2
     assert out[0].clean_text == "filler 0"
+
+
+def test_dedup_sentences_keep_first(spark):
+    from vision_parse_spark.operators.spans import dedup_sentences
+
+    df = spark.createDataFrame(
+        [(1, "a b. c d! a b. e?"), (2, "solo"), (3, "")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup_sentences(df).collect()}
+    assert (got[1].n_sentences, got[1].n_unique) == (4, 3)
+    assert got[1].dedup_text == "a b c d e"      # order preserved
+    assert (got[2].n_sentences, got[2].dedup_text) == (1, "solo")
+    assert (got[3].n_sentences, got[3].n_unique) == (0, 0)
+
+
+def test_dedup_sentences_no_shuffle(spark):
+    from vision_parse_spark.operators.spans import dedup_sentences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (dedup_sentences(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan

@@ -73,3 +73,34 @@ def decontaminate(
         .select(id_col)
     )
     return train_df.join(contaminated, id_col, "left_anti")
+
+
+def exact_substring_hits(
+    train_df: DataFrame,
+    fragments_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frag_id_col: str = "frag_id",
+    frag_col: str = "fragment",
+) -> DataFrame:
+    """Exact-substring decontamination (the GPT-3 appendix-C flavor:
+    an eval item contaminates a training doc if one of its character
+    sequences appears VERBATIM) — the stricter companion to the
+    n-gram-overlap :func:`contamination_hits`.
+
+    Output: one row per (training doc, fragment) verbatim hit —
+    ``(id_col, frag_id_col)``.
+
+    Scale shape (100 TB): the fragment set is eval-sized, so it
+    BROADCASTS; the corpus side is a narrow scan with a codegen'd
+    ``contains`` predicate per fragment (BroadcastNestedLoopJoin —
+    O(N x |frags|) string scans, the exact-substring contract; for
+    huge fragment sets use the gram-based gate first and this as the
+    verify pass on survivors).  No corpus shuffle at all.
+    """
+    frags = F.broadcast(
+        fragments_df.select(frag_id_col, frag_col))
+    return (train_df.select(id_col, text_col)
+            .join(frags,
+                  F.contains(F.col(text_col), F.col(frag_col)))
+            .select(id_col, frag_id_col))

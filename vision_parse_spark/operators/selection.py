@@ -365,3 +365,48 @@ def flesch_kincaid(df: DataFrame, id_col: str = "doc_id",
         sents.alias("n_sentences"),
         syls.alias("n_syllables"),
         F.round(grade, 4).alias("fk_grade"))
+
+
+# explicit code-point ranges, NOT \p{script=...} classes: property
+# tables differ across regex engines/Unicode versions, ranges don't
+_SCRIPT_RANGES = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("hebrew", "[֐-׿]"),
+    ("devanagari", "[ऀ-ॿ]"),
+    ("cjk", "[一-鿿]"),
+    ("kana", "[぀-ヿ]"),
+    ("hangul", "[가-힯]"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document writing-system profile — the multilingual-corpus
+    triage signal next to :func:`~..functions.text_stats.lang_id`:
+    character counts per major script block plus the dominant script
+    (max count; ties break on the fixed block order above; ``none``
+    when no scripted character occurs, e.g. digits-only).
+
+    Counts use explicit code-point ranges so the answer is identical
+    under any regex engine / Unicode version (RE2 and java.util.regex
+    disagree on ``\\p{script=}`` tables).  Entirely narrow — one
+    codegen'd regexp Project, zero shuffle, zero Python; all-integer
+    output + a deterministic string, hash-exact.
+
+    Output: ``(id_col, n_<script>... , dominant_script)``.
+    """
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat))
+               .cast("long").alias(f"n_{name}")
+              for name, pat in _SCRIPT_RANGES]
+    out = df.select(F.col(id_col), *counts)
+    best = F.lit("none")
+    best_n = F.lit(0).cast("long")
+    for name, _ in _SCRIPT_RANGES:        # first-listed wins ties
+        c = F.col(f"n_{name}")
+        take = c > best_n
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, c).otherwise(best_n)
+    return out.withColumn("dominant_script", best)

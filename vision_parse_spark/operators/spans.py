@@ -171,3 +171,37 @@ def remove_frequent_lines(df: DataFrame, max_df: int = 3,
                        F.array_join("_kept", "\n").alias("clean_text"),
                        (F.col("_n") - F.size("_kept"))
                        .alias("n_removed_lines")))
+
+
+def dedup_sentences(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Intra-document sentence dedup — the self-repetition cleanup
+    (boilerplate refrains, copy-paste stutter) that corpus-level
+    :func:`remove_frequent_lines` cannot see because each repeat
+    lives inside ONE document.
+
+    Sentence recipe (engine-portable, no lookbehind — RE2 has none):
+    split on ``[.!?]+`` runs followed by whitespace or end, trim,
+    drop empties; the terminal punctuation is not preserved in the
+    output (documented recipe — dedup semantics only need segment
+    identity).  First occurrence wins, order preserved.
+
+    Scale shape: entirely narrow — one codegen'd Project of
+    higher-order functions (split / indexed filter / array_join),
+    zero shuffle, zero Python.
+
+    Output: ``(id_col, n_sentences, n_unique, dedup_text)``.
+    """
+    sents = (f"filter(transform(split({text_col}, "
+             f"'[.!?]+(\\\\s+|$)'), x -> trim(x)), x -> x != '')")
+    uniq = (f"filter(_sents, (x, i) -> "
+            f"array_position(slice(_sents, 1, i + 1), x) = i + 1)")
+    return (df.select(F.col(id_col),
+                      F.expr(sents).alias("_sents"))
+              .select(id_col,
+                      F.size("_sents").cast("long")
+                       .alias("n_sentences"),
+                      F.expr(uniq).alias("_uniq"))
+              .select(id_col, "n_sentences",
+                      F.size("_uniq").cast("long").alias("n_unique"),
+                      F.array_join("_uniq", " ").alias("dedup_text")))
