@@ -1238,6 +1238,43 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+_PQ_PARAMS = dict(m=4, k=8, iters=2)   # dim 64 -> 4 subspaces of 16
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011): 4
+    per-subspace Lloyd codebooks (control-plane training), then ONE
+    narrow Arrow argmin pass compresses every dim-64 vector to 4
+    codes (512 bytes -> 4).  Codes string-rendered (the postings
+    precedent).  Oracle: per-subspace kmeans CTE replay + the same
+    strict-fold distance argmin."""
+    from vision_parse_spark.operators.pq import pq_encode, pq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, **_PQ_PARAMS)
+    return (pq_encode(e, books)
+            .select("vec_id",
+                    F.array_join(
+                        F.expr("transform(codes, x ->"
+                               " cast(x as string))"), ",")
+                    .alias("codes_str")))
+
+
+def _q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k: per-query m x k lookup tables
+    broadcast, corpus scanned as 4-byte codes (m lookups + m-1 adds
+    per candidate — the 100 TB memory-side retrieval shape).  Every
+    decisive distance is a strict left fold on both engines; ranking
+    = (rounded dist, neighbor id)."""
+    from vision_parse_spark.operators.pq import pq_adc_topk, pq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, **_PQ_PARAMS)
+    q = e.filter(F.col("vec_id") < 4)
+    return (pq_adc_topk(e, q, books, k=5)
+            .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
 _LQ_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -1419,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "sentence_dedup": _q_sentence_dedup,
         "exact_substring_hits": _q_exact_substring_hits,
+        "pq_codes": _q_pq_codes,
+        "pq_adc_topk": _q_pq_adc_topk,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1525,6 +1564,95 @@ def oracle_sql() -> dict[str, str]:
                 f" AS cent FROM c{t} p LEFT JOIN u{t} u USING (cid))")
         ctes.append(assign(iters))
         return ",\n".join(ctes)
+
+    # PQ oracle: per-subspace kmeans replay over SLICED vectors
+    # (training assignment = list_distance like _kmeans_ctes; the
+    # decisive encode/LUT distances are strict left folds —
+    # list_reduce in index order, matching the kernels' cumsum)
+    def _pq_ctes(m: int, k: int, iters: int, sub: int) -> str:
+        def fold_dist(vec_expr: str, cent_expr: str) -> str:
+            d = f"({vec_expr}[i] - {cent_expr}[i])"
+            return (f"list_reduce(list_transform(range(1, {sub + 1}),"
+                    f" i -> {d} * {d}), (x, y) -> x + y)")
+
+        ctes = []
+        for j in range(m):
+            a, b = j * sub + 1, (j + 1) * sub
+            p = f"s{j}"
+            ctes.append(
+                f"{p}emb AS (SELECT vec_id,"
+                f" (embedding::DOUBLE[])[{a}:{b}] AS v"
+                f" FROM embeddings)")
+            ctes.append(
+                f"{p}c0 AS (SELECT row_number() OVER (ORDER BY"
+                f" vec_id) - 1 AS cid, v AS cent FROM (SELECT"
+                f" vec_id, v FROM {p}emb ORDER BY vec_id LIMIT {k}))")
+            for t in range(iters):
+                ctes.append(
+                    f"{p}a{t} AS (SELECT vec_id, cid AS cluster FROM ("
+                    f"SELECT e.vec_id, c.cid, row_number() OVER ("
+                    f"PARTITION BY e.vec_id ORDER BY "
+                    f"list_distance(e.v, c.cent), c.cid) AS rn "
+                    f"FROM {p}emb e CROSS JOIN {p}c{t} c) WHERE rn = 1)")
+                ctes.append(
+                    f"{p}u{t} AS (SELECT cluster AS cid, list(mn ORDER"
+                    f" BY i) AS cent FROM (SELECT a.cluster, u.i,"
+                    f" avg(e.v[u.i]) AS mn FROM {p}a{t} a JOIN {p}emb e"
+                    f" USING (vec_id), unnest(range(1, len(e.v) + 1))"
+                    f" AS u(i) GROUP BY a.cluster, u.i)"
+                    f" GROUP BY cluster)")
+                ctes.append(
+                    f"{p}c{t + 1} AS (SELECT pc.cid, coalesce(u.cent,"
+                    f" pc.cent) AS cent FROM {p}c{t} pc LEFT JOIN"
+                    f" {p}u{t} u USING (cid))")
+            ctes.append(
+                f"{p}enc AS (SELECT vec_id, cid AS code FROM ("
+                f"SELECT e.vec_id, c.cid, row_number() OVER ("
+                f"PARTITION BY e.vec_id ORDER BY "
+                f"{fold_dist('e.v', 'c.cent')}, c.cid) AS rn "
+                f"FROM {p}emb e CROSS JOIN {p}c{iters} c) WHERE rn = 1)")
+        ctes.append(
+            "enc AS (SELECT s0enc.vec_id, "
+            + ", ".join(f"s{j}enc.code AS c{j}" for j in range(m))
+            + " FROM s0enc "
+            + " ".join(f"JOIN s{j}enc ON s{j}enc.vec_id ="
+                       f" s0enc.vec_id" for j in range(1, m)) + ")")
+        return ",\n".join(ctes)
+
+    _pq_m, _pq_k, _pq_it, _pq_sub = 4, 8, 2, 16
+    pq_codes_sql = (
+        "WITH " + _pq_ctes(_pq_m, _pq_k, _pq_it, _pq_sub)
+        + "\nSELECT vec_id, "
+        + " || ',' || ".join(f"c{j}::VARCHAR" for j in range(_pq_m))
+        + " AS codes_str FROM enc")
+
+    def _pq_fold(vec_expr: str, cent_expr: str) -> str:
+        d = f"({vec_expr}[i] - {cent_expr}[i])"
+        return (f"list_reduce(list_transform(range(1, {_pq_sub + 1}),"
+                f" i -> {d} * {d}), (x, y) -> x + y)")
+
+    _pq_luts = ",\n".join(
+        f"lut{j} AS (SELECT q.vec_id AS query_id, c.cid, "
+        f"{_pq_fold('q.v', 'c.cent')} AS d FROM (SELECT vec_id, v"
+        f" FROM s{j}emb WHERE vec_id < 4) q CROSS JOIN"
+        f" s{j}c{_pq_it} c)" for j in range(_pq_m))
+    pq_adc_sql = (
+        "WITH " + _pq_ctes(_pq_m, _pq_k, _pq_it, _pq_sub) + ",\n"
+        + _pq_luts + """,
+        adc AS (
+          SELECT l0.query_id, e.vec_id AS neighbor_id,
+                 round(l0.d + l1.d + l2.d + l3.d, 6) AS adc_dist
+          FROM enc e
+          JOIN lut0 l0 ON l0.cid = e.c0
+          JOIN lut1 l1 ON l1.cid = e.c1 AND l1.query_id = l0.query_id
+          JOIN lut2 l2 ON l2.cid = e.c2 AND l2.query_id = l0.query_id
+          JOIN lut3 l3 ON l3.cid = e.c3 AND l3.query_id = l0.query_id
+          WHERE e.vec_id != l0.query_id)
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS rank
+          FROM adc)
+        WHERE rank <= 5""")
 
     # BPE oracle: replay every merge round as CTEs — weighted pair
     # census with the (freq DESC, pair lex) tie-break, then the
@@ -2502,6 +2630,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.3
         """,
         "kmeans_assign": kmeans_sql,
+        "pq_codes": pq_codes_sql,
+        "pq_adc_topk": pq_adc_sql,
         "bpe_merges": bpe_sql,
         "bpe_encode": bpe_encode_sql,
         "semdedup": semdedup_sql,
