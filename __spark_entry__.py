@@ -1238,6 +1238,18 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+def _q_scalar_quantize(spark, sf_dir):
+    """Int8 embedding compression: per-dim corpus min/max (ONE
+    bounded-key shuffle, 64 rows collected), then a narrow codegen'd
+    Project quantizes every dimension and reports the max
+    reconstruction error.  FULLY exact cross-engine — min/max and
+    per-vector max are order-invariant, everything else is
+    element-wise; no fold, no ulp caveat."""
+    from vision_parse_spark.operators.pq import scalar_quantize
+
+    return scalar_quantize(_t(spark, sf_dir, "embeddings"))
+
+
 _PQ_PARAMS = dict(m=4, k=8, iters=2)   # dim 64 -> 4 subspaces of 16
 
 
@@ -1458,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_hits": _q_exact_substring_hits,
         "pq_codes": _q_pq_codes,
         "pq_adc_topk": _q_pq_adc_topk,
+        "scalar_quantize": _q_scalar_quantize,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2632,6 +2645,30 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": kmeans_sql,
         "pq_codes": pq_codes_sql,
         "pq_adc_topk": pq_adc_sql,
+        "scalar_quantize": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            st AS (
+              SELECT u.i AS i, min(e.v[u.i]) AS lo,
+                     max(e.v[u.i]) - min(e.v[u.i]) AS rng
+              FROM e, unnest(range(1, len(e.v) + 1)) AS u(i)
+              GROUP BY u.i),
+            q AS (
+              SELECT e.vec_id, u.i, e.v[u.i] AS x, st.lo, st.rng,
+                     CASE WHEN st.rng = CAST(0 AS DOUBLE) THEN 0
+                          ELSE CAST(round(((e.v[u.i] - st.lo)
+                               / st.rng) * CAST(255 AS DOUBLE))
+                               AS INTEGER) END AS code
+              FROM e, unnest(range(1, len(e.v) + 1)) AS u(i)
+              JOIN st ON st.i = u.i)
+            SELECT vec_id,
+                   string_agg(code::VARCHAR, ',' ORDER BY i)
+                     AS codes_str,
+                   round(max(abs(x - (lo + (CAST(code AS DOUBLE)
+                         * rng) / CAST(255 AS DOUBLE)))), 6)
+                     AS max_err
+            FROM q GROUP BY vec_id
+        """,
         "bpe_merges": bpe_sql,
         "bpe_encode": bpe_encode_sql,
         "semdedup": semdedup_sql,

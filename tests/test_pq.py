@@ -88,3 +88,35 @@ def test_pq_adc_empty_queries_raise(spark):
     books = pq_fit(df, m=2, k=2, iters=1)
     with pytest.raises(ValueError, match="empty query"):
         pq_adc_topk(df, df.filter("vec_id < 0"), books)
+
+
+def test_scalar_quantize_exact_round_trip_properties(spark):
+    from vision_parse_spark.operators.pq import scalar_quantize
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 5.0, -1.0]), (1, [10.0, 5.0, 1.0]),
+         (2, [5.0, 5.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in scalar_quantize(df).collect()}
+    # dim0 range [0,10]: 0 -> 0, 10 -> 255, 5 -> 128 (round .5 up)
+    # dim1 constant: range 0 -> code 0, zero error
+    # dim2 range [-1,1]: -1 -> 0, 1 -> 255, 0 -> 128
+    assert got[0].codes_str == "0,0,0"
+    assert got[1].codes_str == "255,0,255"
+    assert got[2].codes_str == "128,0,128"
+    # max reconstruction error bounded by half a quantization step
+    for r in got.values():
+        assert r.max_err <= round(10.0 / 255 / 2 + 1e-9, 6)
+    assert got[1].max_err == 0.0              # exact endpoints
+
+
+def test_scalar_quantize_partition_invariance(spark):
+    from vision_parse_spark.operators.pq import scalar_quantize
+    import pytest as _pt
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, scalar_quantize(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, scalar_quantize(df.repartition(7)).collect()))
+    assert a == b
+    with _pt.raises(ValueError, match="levels"):
+        scalar_quantize(df, levels=1)

@@ -175,3 +175,64 @@ def pq_adc_topk(df: DataFrame, queries: DataFrame,
         F.asc("adc_dist"), F.asc("neighbor_id"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def scalar_quantize(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    levels: int = 256) -> DataFrame:
+    """Per-dimension scalar quantization (the int8 embedding
+    compression every vector store ships): each dimension maps to
+    ``round((x - min_d) / range_d * (levels-1))`` with corpus-wide
+    per-dim min/max, reporting the per-vector max reconstruction
+    error.
+
+    Unlike the k-means paths this is FULLY exact cross-engine: min /
+    max aggregates are order-invariant, every downstream op is
+    element-wise (no float fold anywhere), and the max over
+    dimensions is again order-invariant — the oracle hash matches
+    bit-for-bit with no ulp caveat.
+
+    Scale shape: ONE bounded-key shuffle (explode to (dim, x), agg on
+    the dim key with map-side combine, <= dim rows collected to the
+    driver), then a narrow codegen'd Project with the stats as plan
+    literals.  Output: ``(id_col, codes_str, max_err)``.
+    """
+    if levels < 2:
+        raise ValueError(f"scalar_quantize: levels must be >= 2,"
+                         f" got {levels}")
+    v = F.col(vec_col).cast("array<double>")
+    stats = (df.select(F.posexplode(v).alias("i", "x"))
+               .groupBy("i")
+               .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+               .collect())
+    if not stats:
+        raise ValueError("scalar_quantize: empty input")
+    dim = len(stats)
+    lo = [0.0] * dim
+    rng = [0.0] * dim
+    for r in stats:
+        lo[r["i"]] = r["lo"]
+        rng[r["i"]] = r["hi"] - r["lo"]
+    # literals as string-casts: Spark parses bare decimal literals
+    # as DECIMAL, and cast('<repr>' as double) round-trips the exact
+    # IEEE double (shortest-repr guarantee) on both engines
+    def _dlit(x: float) -> str:
+        return f"cast('{x!r}' as double)"
+
+    mins = "array(" + ",".join(_dlit(x) for x in lo) + ")"
+    rngs = "array(" + ",".join(_dlit(x) for x in rng) + ")"
+    top = _dlit(float(levels - 1))
+    code = (f"CASE WHEN {rngs}[i] = {_dlit(0.0)} THEN 0 ELSE "
+            f"cast(round(((_v[i] - {mins}[i]) / {rngs}[i])"
+            f" * {top}) as int) END")
+    dq = f"({mins}[i] + (cast({code} as double) * {rngs}[i]) / {top})"
+    return (df.select(F.col(id_col), v.alias("_v"))
+            .select(
+                id_col,
+                F.expr(f"array_join(transform(sequence(0, {dim - 1}),"
+                       f" i -> cast({code} as string)), ',')")
+                .alias("codes_str"),
+                F.round(F.expr(
+                    f"array_max(transform(sequence(0, {dim - 1}),"
+                    f" i -> abs(_v[i] - {dq})))"), 6)
+                .alias("max_err")))
