@@ -87,6 +87,11 @@ class ExtractConfig:
     # False drops annotation content like the reference's
     # include_annotations=False.
     include_annotations: bool = True
+    # round 6: Boilerpipe-style link-density block drop in the HTML
+    # channel (Kohlschütter et al. 2010) — catches link farms /
+    # "related posts" divs no tag-name rule can.  Off by default:
+    # the markdown goldens pin the tag-rule-only output.
+    html_density_filter: bool = False
 
     def validate(self) -> "ExtractConfig":
         if self.image_mode not in (None, "url", "base64"):

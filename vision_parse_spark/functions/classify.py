@@ -83,14 +83,17 @@ def detect_payload_kind(text: pd.Series) -> pd.Series:
 
 
 def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None,
-                   include_annotations: bool = True) -> pd.DataFrame:
+                   include_annotations: bool = True,
+                   html_density_filter: bool = False) -> pd.DataFrame:
     """Classify a batch of turn payloads.
 
     Returns a DataFrame with columns: payload_kind, text_detected,
     tables_detected, images_detected, latex_detected, extracted_text,
     confidence — one row per input row, index-aligned.
     ``include_annotations`` gates /Annots appearance text + ink inside
-    the pdf parse (ExtractConfig.include_annotations).
+    the pdf parse (ExtractConfig.include_annotations);
+    ``html_density_filter`` turns on the Boilerpipe link-density
+    block drop in the HTML channel (ExtractConfig.html_density_filter).
     """
     t = text.fillna("")
     if payload_kind is None:
@@ -126,7 +129,8 @@ def classify_batch(text: pd.Series, payload_kind: pd.Series | None = None,
                 "pdf_encrypted"
             pdf_encrypted.loc[encrypted.index] = encrypted
     if html_mask.any():
-        stripped_html = strip_html_boilerplate(t[html_mask])
+        stripped_html = strip_html_boilerplate(
+            t[html_mask], density_filter=html_density_filter)
         extracted = extracted.mask(pd.Series(html_mask, index=t.index), stripped_html)
 
     # T6 fence strip applies to every payload (llm.py:444-449)

@@ -83,7 +83,8 @@ def extract_pandas(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     # ---- T4 classification with C4 fallback ----------------------
     try:
         analysis = classify_batch(
-            texts, include_annotations=cfg.include_annotations)
+            texts, include_annotations=cfg.include_annotations,
+            html_density_filter=cfg.html_density_filter)
     except Exception as e:  # pragma: no cover - defensive
         if cfg.strict:
             raise
