@@ -1238,6 +1238,17 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+def _q_keyword_extract(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document: ONE corpus shuffle builds
+    (doc, term, tf); document frequency aggregates on the bounded
+    term key and broadcasts back; per-doc top-k is a keyed window
+    ranked on (rounded score DESC, term) — the determinism rule, ln
+    under the bm25 ulp precedent."""
+    from vision_parse_spark.operators.corpus_stats import keyword_extract
+
+    return keyword_extract(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _q_scalar_quantize(spark, sf_dir):
     """Int8 embedding compression: per-dim corpus min/max (ONE
     bounded-key shuffle, 64 rows collected), then a narrow codegen'd
@@ -1471,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_adc_topk": _q_pq_adc_topk,
         "scalar_quantize": _q_scalar_quantize,
+        "keyword_extract": _q_keyword_extract,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3480,6 +3492,27 @@ def oracle_sql() -> dict[str, str]:
                      substring(text, 20, 40) AS fragment
               FROM documents WHERE doc_id < 5) f
           ON contains(d.text, f.fragment)
+    """
+    out["keyword_extract"] = r"""
+        WITH tf AS (
+          SELECT doc_id, tok AS term, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                     lower(trim(text)), '\s+'), x -> x != '')) AS tok
+            FROM documents)
+          GROUP BY doc_id, tok),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                                   FROM documents) / dfreq.df), 6)
+                   AS tfidf
+          FROM tf JOIN dfreq USING (term))
+        SELECT doc_id, term, tfidf, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3
     """
     out["flesch_kincaid"] = r"""
         WITH c AS (

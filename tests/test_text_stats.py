@@ -366,3 +366,35 @@ def test_vocab_growth_partition_invariance(spark):
     a = sorted(map(tuple, vocab_growth(d.coalesce(1)).collect()))
     b = sorted(map(tuple, vocab_growth(d.repartition(13)).collect()))
     assert a == b
+
+
+def test_keyword_extract_distinctive_terms_win(spark):
+    from vision_parse_spark.operators.corpus_stats import keyword_extract
+
+    d = spark.createDataFrame(
+        [(0, "common common quantum quantum quantum"),
+         (1, "common common common"),
+         (2, "common plasma")],
+        "doc_id long, text string")
+    out = keyword_extract(d, k=2).collect()
+    top = {r.doc_id: [x.term for x in sorted(
+        [q for q in out if q.doc_id == r.doc_id],
+        key=lambda q: q.rank)] for r in out}
+    # 'common' appears in every doc -> ln(N/df)=0 -> never beats a
+    # distinctive term; ties rank by term asc
+    assert top[0][0] == "quantum"
+    assert top[2][0] == "plasma"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        keyword_extract(d, k=0)
+    with _pt.raises(ValueError, match="empty corpus"):
+        keyword_extract(d.filter("doc_id < 0"))
+
+
+def test_keyword_extract_partition_invariance(spark):
+    from vision_parse_spark.operators.corpus_stats import keyword_extract
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, keyword_extract(d.coalesce(1)).collect()))
+    b = sorted(map(tuple, keyword_extract(d.repartition(13)).collect()))
+    assert a == b

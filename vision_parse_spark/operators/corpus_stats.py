@@ -361,3 +361,45 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
             .withColumn("cum_vocab", F.sum("new_types").over(cum))
             .select(F.col("g").alias(group_col), "new_types",
                     "cum_vocab"))
+
+
+def keyword_extract(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the classic
+    distinctive-term signal (tagging, routing, near-dup triage):
+    ``score = tf * ln(N / df)`` with corpus document frequency.
+
+    Scale shape (100 TB): ONE corpus-sized shuffle builds the
+    (doc, term, tf) relation with map-side combine; document
+    frequency aggregates that relation on the BOUNDED term key and
+    BROADCASTS back; the per-doc top-k is a (doc)-keyed window.
+    Ranking is (rounded score DESC, term ASC) — the repo's
+    determinism rule; ``ln`` cross-engine parity carries the bm25
+    precedent's ulp analysis (round-6 boundary flips need a score
+    within ~1e-12 of a .0000005 edge).
+
+    Output: ``(id_col, term, tfidf, rank)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"keyword_extract: k must be >= 1, got {k}")
+    n_docs = df.count()
+    if n_docs == 0:
+        raise ValueError("keyword_extract: empty corpus")
+    tf = (df.select(F.col(id_col),
+                    F.explode(ws_tokens(text_col)).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+                .select(id_col, "term",
+                        F.round(F.col("tf")
+                                * F.log(F.lit(float(n_docs))
+                                        / F.col("df")), 6)
+                         .alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"),
+                                           F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(id_col, "term", "tfidf", "rank"))
