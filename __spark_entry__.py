@@ -1386,6 +1386,53 @@ def _q_pricing_summary(spark, sf_dir):
     )
 
 
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — the 6-way star join (lineitem x orders facts,
+    customer/supplier/nation/region dims) with the local-supplier
+    constraint (customer and supplier share the nation).  Scale
+    shape: the only fact-fact join (lineitem x orders) shuffles on
+    the order key; every dimension BROADCASTS; Catalyst prunes
+    columns to the join/agg set at the scans.  Revenue rounds at 2
+    (the pricing_summary float-sum precedent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("r_name", "n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def _q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape — promotion revenue share: lineitem joins the
+    BROADCAST part dimension, one conditional + one total sum in a
+    single-pass aggregate; the share is one double division of two
+    2-rounded sums (deterministic given the pricing_summary
+    precedent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                      .otherwise(F.lit(0.0))), 2).alias("promo_rev"),
+        F.round(F.sum(rev), 2).alias("total_rev"))
+    return agg.select(
+        "promo_rev", "total_rev",
+        F.round(F.col("promo_rev") / F.col("total_rev") * 100, 4)
+         .alias("promo_pct"))
+
+
 def _q_top_customers(spark, sf_dir):
     # broadcast join: small dim (customer) broadcast to orders scan
     o = _t(spark, sf_dir, "orders")
@@ -1488,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "chunk_documents": _q_chunk_documents,
         "pricing_summary": _q_pricing_summary,
+        "regional_revenue": _q_regional_revenue,
+        "promo_revenue_share": _q_promo_revenue_share,
         "top_customers": _q_top_customers,
     }
 
@@ -2806,6 +2855,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split(chunk_text, ' '))
                         END AS INT) AS n_tokens
             FROM e
+        """,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "promo_revenue_share": """
+            WITH a AS (
+              SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE CAST(0 AS DOUBLE) END), 2)
+                       AS promo_rev,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT promo_rev, total_rev,
+                   round(promo_rev / total_rev
+                         * CAST(100 AS DOUBLE), 4) AS promo_pct
+            FROM a
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

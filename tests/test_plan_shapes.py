@@ -180,3 +180,22 @@ def test_semdedup_confines_pairs_to_cells(spark):
     plan = plan_of(semdedup(emb, k=4, iters=1, threshold=0.3))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_regional_revenue_star_join_shape(spark):
+    """TPC-H Q5 shape: 4 dimension joins broadcast; the only
+    shuffles are the lineitem x orders fact join + the final agg."""
+    import __spark_entry__ as em
+
+    import re
+
+    df = em.queries()["regional_revenue"](spark, SF)
+    p = plan_of(df)
+    # >= 4 broadcast joins (the explicit dims; the planner may also
+    # broadcast the orders side of the fact join at this tiny SF)
+    bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin$", p, re.M))
+    assert bhj >= 4
+    # shuffles: at most the fact-fact join's two + the group-by's one
+    assert n_shuffles(p) <= 3
+    # no cartesian anywhere in the star
+    assert "CartesianProduct" not in p
