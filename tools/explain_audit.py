@@ -504,6 +504,61 @@ def main():
         grab(di),
     ))
 
+    from vision_parse_spark.operators.pq import (
+        pq_adc_topk, pq_fit, scalar_quantize)
+
+    emb2 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_fit(emb2, m=4, k=8, iters=1)
+    adc = pq_adc_topk(emb2, emb2.filter(F.col("vec_id") < 4), books,
+                      k=5)
+    sections.append((
+        "Product-quantization ADC top-k (pq_adc_topk)",
+        "round 6, Jégou et al. 2011.  Codebook training is "
+        "control-plane (the kmeans_fit machinery — corpus never "
+        "shuffles); the plan below is the SEARCH: one narrow "
+        "ArrowEvalPython encode + MapInPandas scoring pass over the "
+        "corpus (codes, not vectors — a dim-64 float64 row shrinks "
+        "512 B -> 4 B at 100 TB), then the per-query window on the "
+        "bounded |Q| x corpus candidate stream.  scalar_quantize "
+        "needs no section: one bounded-key stats agg + a narrow "
+        "codegen'd Project.",
+        grab(adc),
+    ))
+
+    sq = scalar_quantize(emb2)
+    sections.append((
+        "Int8 scalar quantization (scalar_quantize)",
+        "round 6.  The per-dim min/max agg is ONE bounded-key "
+        "exchange (64 keys, map-side combined); the quantize itself "
+        "is a narrow Project with the stats folded in as literals — "
+        "fully exact cross-engine (no float fold anywhere).",
+        grab(sq),
+    ))
+
+    from vision_parse_spark.operators.corpus_stats import keyword_extract
+
+    kw = keyword_extract(docs, k=3)
+    sections.append((
+        "TF-IDF keyword extraction (keyword_extract)",
+        "round 6.  ONE corpus-sized shuffle builds (doc, term, tf) "
+        "with map-side combine; document frequency aggregates the "
+        "combined relation on the bounded term key and BROADCASTS "
+        "back; the per-doc top-k window re-keys on the doc id.",
+        grab(kw),
+    ))
+
+    import __spark_entry__ as em
+
+    rr = em.queries()["regional_revenue"](spark, SF)
+    sections.append((
+        "TPC-H Q5-shape star join (regional_revenue)",
+        "round 6.  The only fact-fact join (lineitem x orders) "
+        "shuffles on the order key; customer/supplier/nation/region "
+        "BROADCAST (CI-asserted >= 4 BroadcastHashJoin, <= 3 "
+        "shuffles, no cartesian); column pruning reaches every scan.",
+        grab(rr),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/explain_audit.py)\n"]
     for title, why, plan in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{plan.strip()}\n```\n")
