@@ -119,3 +119,13 @@ def test_bpe_fertility_hand_corpus(spark):
     y = rows["Y"]          # wordless doc still counts, ratios NULL
     assert (y.n_docs, y.n_words, y.n_pieces) == (1, 0, 0)
     assert y.pieces_per_word is None and y.chars_per_piece is None
+
+
+def test_bpe_fertility_null_text_counts_as_empty(spark):
+    from vision_parse_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame(
+        [("X", "ab"), ("X", None)], "source string, text string")
+    r = bpe_fertility(df, [("a", "b")]).collect()[0]
+    # NULL doc counted, never size(NULL) = -1 corrupting the sums
+    assert (r.n_docs, r.n_words, r.n_pieces) == (2, 1, 1)

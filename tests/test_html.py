@@ -65,3 +65,15 @@ def test_pipeline_html_density_knob(spark):
     assert "Related post" in off.markdown       # default unchanged
     assert "Related post" not in on.markdown
     assert "main article body" in on.markdown
+
+
+def test_density_filter_keeps_prose_after_dropped_block():
+    """Review-found content loss: prose between a closed link-dense
+    block and the next block tag must survive the drop."""
+    page = ("<div><a href='/x'>link farm link farm link</a></div>"
+            "Real article content outside the div.<p>more prose</p>")
+    out = strip_html_boilerplate(
+        pd.Series([page]), density_filter=True).iloc[0]
+    assert "Real article content outside the div." in out
+    assert "more prose" in out
+    assert "link farm" not in out

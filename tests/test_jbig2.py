@@ -249,3 +249,57 @@ def test_jbig2_symbol_dict_pdf_skips_visibly():
     assert len(skipped) == 1
     assert skipped[0][1] == "Scan"
     assert "jbig2_decode_failed" in skipped[0][2]
+
+
+# ---------------- review-found hardening ----------------
+
+
+def test_truncated_header_raises_cleanly_not_indexerror_in_pdf():
+    """A segment header cut at the page-association byte must be a
+    visible skip in the image channel, not a dead executor task."""
+    from vision_parse_spark.functions.pdf import extract_pdf_images
+
+    bad = struct.pack(">I", 1) + bytes([38]) + bytes([5 << 5]) \
+        + bytes([1, 2, 3, 4, 5])          # refs end the stream
+    skipped = []
+    ims = extract_pdf_images(_jbig2_pdf(bad, 4, 4),
+                             skipped_out=skipped)
+    assert ims == [] and len(skipped) == 1
+    assert "jbig2_decode_failed" in skipped[0][2]
+
+
+def test_huge_region_hits_sanity_cap_not_oom():
+    region = (struct.pack(">IIII", 2 ** 30, 2 ** 30, 0, 0)
+              + b"\x00" + bytes([0]) + b"\x00" * 8)
+    data = (_seg(0, 48, 1, _page_info(4, 4))
+            + _seg(1, 38, 1, region))
+    with pytest.raises(ValueError, match="sanity cap"):
+        decode_jbig2_embedded(data)
+
+
+def test_replace_op_on_default_black_page():
+    bmp = np.zeros((4, 4), dtype=np.uint8)
+    bmp[0, 0] = 1
+    region = _generic_region_seg(bmp)
+    region = region[:16] + bytes([4]) + region[17:]   # REPLACE
+    data = (_seg(0, 48, 1, _page_info(4, 4, default_pixel=1))
+            + _seg(1, 38, 1, region))
+    img = decode_jbig2_embedded(data)
+    # REPLACE overwrites the all-black ground with the region
+    assert img[0, 0] == 0 and (img[1:] == 255).all()
+    # ...while an unsupported AND op raises honestly
+    region_and = region[:16] + bytes([1]) + region[17:]
+    with pytest.raises(NotImplementedError, match="operator 1"):
+        decode_jbig2_embedded(
+            _seg(0, 48, 1, _page_info(4, 4, default_pixel=1))
+            + _seg(1, 38, 1, region_and))
+
+
+def test_striped_page_keeps_declared_width():
+    bmp = np.ones((2, 3), dtype=np.uint8)
+    pi = struct.pack(">IIII", 10, 0xFFFFFFFF, 0, 0) + b"\x00" \
+        + b"\x00\x00"
+    data = (_seg(0, 48, 1, pi)
+            + _seg(1, 38, 1, _generic_region_seg(bmp)))
+    img = decode_jbig2_embedded(data)
+    assert img.shape == (2, 10)           # width declared, height grown

@@ -215,3 +215,12 @@ def test_dedup_sentences_no_shuffle(spark):
     plan = (dedup_sentences(docs)._jdf.queryExecution().executedPlan()
             .toString())
     assert "Exchange" not in plan
+
+
+def test_dedup_sentences_null_text(spark):
+    from vision_parse_spark.operators.spans import dedup_sentences
+
+    df = spark.createDataFrame([(1, None)],
+                               "doc_id long, text string")
+    r = dedup_sentences(df).collect()[0]
+    assert (r.n_sentences, r.n_unique, r.dedup_text) == (0, 0, "")

@@ -86,13 +86,26 @@ _RULES: list[tuple[str, str]] = _PRE_RULES + _MD_RULES
 
 _HTML_HINT = r"(?is)<!doctype\s+html|<html\b|<body\b|<div\b|<p\b[^a-z]|<table\b|<h[1-6]\b"
 
-# block-level boundaries for the density filter: split BEFORE each
-# block-opening tag so every segment is one shallow block
-_BLOCK_SPLIT_RE = re.compile(
-    r"(?is)(?=<(?:div|p|section|article|ul|ol|table|h[1-6]|"
-    r"blockquote|pre)\b)")
+# block-level boundaries for the density filter: cut BEFORE each
+# block-opening tag AND AFTER each block-closing tag, so a dropped
+# block ends at its own </...> — prose between a closed block and
+# the next block tag lands in its own segment and survives
+# (review-found content-loss bug: splitting only before opens glued
+# trailing prose onto the preceding block)
+_BLOCK_TAGS = (r"div|p|section|article|ul|ol|table|h[1-6]|"
+               r"blockquote|pre")
+_BLOCK_OPEN_RE = re.compile(rf"(?is)<(?:{_BLOCK_TAGS})\b")
+_BLOCK_CLOSE_RE = re.compile(rf"(?is)</(?:{_BLOCK_TAGS})\s*>")
 _ANCHOR_RE = re.compile(r"(?is)<a\b[^>]*>(.*?)</a>")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
+
+
+def _block_segments(html: str) -> list[str]:
+    cuts = {0, len(html)}
+    cuts.update(m.start() for m in _BLOCK_OPEN_RE.finditer(html))
+    cuts.update(m.end() for m in _BLOCK_CLOSE_RE.finditer(html))
+    edges = sorted(cuts)
+    return [html[a:b] for a, b in zip(edges, edges[1:]) if a < b]
 
 
 def looks_like_html(s: pd.Series) -> pd.Series:
@@ -106,7 +119,7 @@ def _drop_link_dense_blocks(html: str, max_density: float,
     whose anchor-text share exceeds ``max_density``, or exceeds
     ``max_density / 2`` while the block is short (link lists rarely
     carry long prose).  Blocks without links always survive."""
-    parts = _BLOCK_SPLIT_RE.split(html)
+    parts = _block_segments(html)
     if len(parts) <= 1:
         return html
     kept = []

@@ -431,13 +431,22 @@ def _parse_segment_header(data: bytes, off: int) -> tuple[dict, int]:
                  data=data[p:p + dlen]), p + dlen)
 
 
-def _decode_region_segment(seg_data: bytes) -> tuple[np.ndarray, int, int]:
-    """Immediate generic region segment payload → (bitmap, x, y)."""
+# sanity cap on any allocated bitmap (page or region): a crafted
+# stream declaring w=h≈2^31 must raise, not trigger the OOM killer
+_MAX_PIXELS = 100_000_000
+
+
+def _decode_region_segment(seg_data: bytes
+                           ) -> tuple[np.ndarray, int, int, int]:
+    """Immediate generic region segment payload →
+    (bitmap, x, y, comb_op)."""
     if len(seg_data) < 18:
         raise ValueError("jbig2: truncated region segment")
     w, h, x, y = struct.unpack(">IIII", seg_data[:16])
-    # seg_data[16] = external combination operator (OR assumed onto a
-    # default-0 page, which REPLACE matches on blank ground)
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"jbig2: region {w}x{h} exceeds the "
+                         f"{_MAX_PIXELS}-pixel sanity cap")
+    comb_op = seg_data[16] & 0x7
     gflags = seg_data[17]
     mmr = gflags & 1
     template = (gflags >> 1) & 3
@@ -448,7 +457,7 @@ def _decode_region_segment(seg_data: bytes) -> tuple[np.ndarray, int, int]:
 
         img = decode_g4(seg_data[p:], columns=w, rows=h,
                         black_is_1=True)
-        return (img == 255).astype(np.uint8), x, y
+        return (img == 255).astype(np.uint8), x, y, comb_op
     n_at = 4 if template == 0 else 1
     at = []
     for _ in range(n_at):
@@ -458,7 +467,7 @@ def _decode_region_segment(seg_data: bytes) -> tuple[np.ndarray, int, int]:
         p += 2
     bmp = decode_generic_region(seg_data[p:], w, h, template=template,
                                 tpgdon=tpgdon, at=at)
-    return bmp, x, y
+    return bmp, x, y, comb_op
 
 
 _GENERIC_REGION_TYPES = (36, 38, 39)
@@ -485,7 +494,7 @@ def decode_jbig2_embedded(data: bytes,
             segs.append(seg)
     page_w = page_h = None
     default_pixel = 0
-    regions: list[tuple[np.ndarray, int, int]] = []
+    regions: list[tuple[np.ndarray, int, int, int]] = []
     for seg in segs:
         t = seg["type"]
         if t == 48:                       # page info
@@ -503,13 +512,28 @@ def decode_jbig2_embedded(data: bytes,
                 f"unsupported")
     if not regions:
         raise ValueError("jbig2: no generic region segment found")
-    if page_w is None or page_h == 0xFFFFFFFF:
-        page_w = max(x + r.shape[1] for r, x, _ in regions)
-        page_h = max(y + r.shape[0] for r, _, y in regions)
+    if page_w is None:
+        page_w = max(x + r.shape[1] for r, x, _, _ in regions)
+    if page_h is None or page_h == 0xFFFFFFFF:
+        # striped page: height is open-ended, width stays declared
+        page_h = max(y + r.shape[0] for r, _, y, _ in regions)
+    if page_w * page_h > _MAX_PIXELS:
+        raise ValueError(f"jbig2: page {page_w}x{page_h} exceeds the "
+                         f"{_MAX_PIXELS}-pixel sanity cap")
     page = np.full((page_h, page_w), default_pixel, dtype=np.uint8)
-    for bmp, x, y in regions:
+    for bmp, x, y, op in regions:
         h = min(bmp.shape[0], page_h - y)
         w = min(bmp.shape[1], page_w - x)
-        if h > 0 and w > 0:
+        if h <= 0 or w <= 0:
+            continue
+        if op == 0:                       # OR
             page[y:y + h, x:x + w] |= bmp[:h, :w]
+        elif op == 4:                     # REPLACE
+            page[y:y + h, x:x + w] = bmp[:h, :w]
+        else:
+            # AND / XOR / XNOR composition onto a possibly non-blank
+            # page: unsupported — raise so the caller records an
+            # honest skip, never a silently wrong bitmap
+            raise NotImplementedError(
+                f"jbig2: region combination operator {op} unsupported")
     return np.where(page == 1, np.uint8(0), np.uint8(255))

@@ -149,8 +149,11 @@ def bpe_fertility(df: DataFrame, merges: list[tuple[str, str]],
     """
     from ..functions.text_stats import ws_tokens
 
+    # NULL text must count as an empty doc, not as size(NULL) = -1
+    # silently corrupting the integer sums (review finding)
     enc = bpe_apply(df.select(F.col(group_col).alias("g"),
-                              F.col(text_col).alias("_txt")),
+                              F.coalesce(F.col(text_col), F.lit(""))
+                               .alias("_txt")),
                     merges, text_col="_txt")
     toks = ws_tokens("_txt")
     per_doc = enc.select(

@@ -371,8 +371,12 @@ def keyword_extract(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape (100 TB): ONE corpus-sized shuffle builds the
     (doc, term, tf) relation with map-side combine; document
-    frequency aggregates that relation on the BOUNDED term key and
-    BROADCASTS back; the per-doc top-k is a (doc)-keyed window.
+    frequency aggregates that already-combined relation on the term
+    key and broadcasts back.  The df relation is VOCABULARY-sized
+    (Heaps' law — millions of rows on a web corpus, still
+    broadcastable; beyond that, shard the score join on the term —
+    the :func:`unigram_logprob` caveat, not a bounded key); the
+    per-doc top-k is a (doc)-keyed window.
     Ranking is (rounded score DESC, term ASC) — the repo's
     determinism rule; ``ln`` cross-engine parity carries the bm25
     precedent's ulp analysis (round-6 boundary flips need a score

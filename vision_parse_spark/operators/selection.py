@@ -350,9 +350,10 @@ def flesch_kincaid(df: DataFrame, id_col: str = "doc_id",
     double expression over them, bit-identical cross-engine,
     rounded to 4 decimals.
     """
-    low = F.lower(F.trim(F.col(text_col)))
+    safe = f"coalesce({text_col}, '')"   # NULL text = empty doc
+    low = F.expr(f"lower(trim({safe}))")
     words = F.greatest(F.lit(1),
-                       F.size(ws_tokens(text_col)).cast("long"))
+                       F.size(ws_tokens(safe)).cast("long"))
     sents = F.greatest(F.lit(1),
                        F.regexp_count(low, F.lit(r"[.!?]+"))
                         .cast("long"))
@@ -398,7 +399,8 @@ def script_profile(df: DataFrame, id_col: str = "doc_id",
 
     Output: ``(id_col, n_<script>... , dominant_script)``.
     """
-    counts = [F.regexp_count(F.col(text_col), F.lit(pat))
+    safe = F.coalesce(F.col(text_col), F.lit(""))  # NULL = empty
+    counts = [F.regexp_count(safe, F.lit(pat))
                .cast("long").alias(f"n_{name}")
               for name, pat in _SCRIPT_RANGES]
     out = df.select(F.col(id_col), *counts)

@@ -192,7 +192,8 @@ def dedup_sentences(df: DataFrame, id_col: str = "doc_id",
 
     Output: ``(id_col, n_sentences, n_unique, dedup_text)``.
     """
-    sents = (f"filter(transform(split({text_col}, "
+    # coalesce: NULL text is an empty doc, never size(NULL) = -1
+    sents = (f"filter(transform(split(coalesce({text_col}, ''), "
              f"'[.!?]+(\\\\s+|$)'), x -> trim(x)), x -> x != '')")
     uniq = (f"filter(_sents, (x, i) -> "
             f"array_position(slice(_sents, 1, i + 1), x) = i + 1)")
