@@ -1238,6 +1238,17 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+def _q_burst_detection(spark, sf_dir):
+    """Event-rate burst QA: hourly buckets z-scored against the
+    stream's own mean/std.  Fully exact cross-engine — per-bucket
+    counts and the (Σn, Σn², K) stats are integers; mean/var/z are
+    one fixed-order double expression (no float fold).  ONE
+    bounded-key shuffle + a broadcast 1-row stats cross join."""
+    from vision_parse_spark.operators.temporal import burst_detection
+
+    return burst_detection(_t(spark, sf_dir, "events"))
+
+
 def _q_keyword_extract(spark, sf_dir):
     """Top-3 TF-IDF keywords per document: ONE corpus shuffle builds
     (doc, term, tf); document frequency aggregates on the bounded
@@ -1530,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "scalar_quantize": _q_scalar_quantize,
         "keyword_extract": _q_keyword_extract,
+        "burst_detection": _q_burst_detection,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3569,6 +3581,36 @@ def oracle_sql() -> dict[str, str]:
                      substring(text, 20, 40) AS fragment
               FROM documents WHERE doc_id < 5) f
           ON contains(d.text, f.fragment)
+    """
+    out["burst_detection"] = """
+        WITH per AS (
+          SELECT epoch_us(ts) // 3600000000 AS bucket_start,
+                 count(*) AS n_events
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1),
+        st AS (
+          SELECT sum(n_events) AS s,
+                 sum(n_events * n_events) AS ss,
+                 count(*) AS k
+          FROM per)
+        SELECT bucket_start, n_events,
+               round((CAST(n_events AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                     / sqrt(nullif(
+                        (CAST(ss AS DOUBLE)
+                         - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE),
+                        CAST(0 AS DOUBLE))), 4) AS z,
+               CAST(coalesce(
+                 (CAST(n_events AS DOUBLE)
+                  - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                 / sqrt(nullif(
+                    (CAST(ss AS DOUBLE)
+                     - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE),
+                    CAST(0 AS DOUBLE)))
+                 > CAST(3 AS DOUBLE), FALSE) AS INTEGER) AS is_burst
+        FROM per CROSS JOIN st
     """
     out["keyword_extract"] = r"""
         WITH tf AS (

@@ -224,3 +224,47 @@ def test_dialog_integrity_custom_first_role(spark):
                               "conv_id string, turn_idx int, role string")
     r = dialog_integrity(t, first_role="system").collect()[0]
     assert r.starts_ok == 1
+
+
+# ---------------- burst detection ----------------
+
+def test_burst_detection_flags_the_spike(spark):
+    from vision_parse_spark.operators.temporal import burst_detection
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # single-spike z among K buckets caps at sqrt(K-1): K=10 gives
+    # exactly 3.0 (not > threshold) — use K=20 so the spike clears it
+    for h in range(20):
+        n = 200 if h == 5 else 10          # hour 5 is a 20x burst
+        rows += [(base + dt.timedelta(hours=h, seconds=i),)
+                 for i in range(n)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r.bucket_start: r for r in burst_detection(df).collect()}
+    assert len(got) == 20
+    bursts = [r for r in got.values() if r.is_burst]
+    assert len(bursts) == 1 and bursts[0].n_events == 200
+    # z of the spike: exact-int stats replayed in python
+    import math
+    ns = [10] * 20
+    ns[5] = 200
+    mean = sum(ns) / 20
+    var = (sum(n * n for n in ns) - sum(ns) ** 2 / 20) / 20
+    assert bursts[0].z == round((200 - mean) / math.sqrt(var), 4)
+
+
+def test_burst_detection_constant_stream_and_validation(spark):
+    from vision_parse_spark.operators.temporal import burst_detection
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(hours=h),) for h in range(4)]
+        + [(None,)], "ts timestamp")
+    out = burst_detection(df).collect()
+    assert len(out) == 4                    # NULL ts dropped
+    assert all(r.z is None and r.is_burst == 0 for r in out)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket_seconds"):
+        burst_detection(df, bucket_seconds=0)

@@ -253,3 +253,60 @@ def dialog_integrity(
                   .cast("long").alias("n_violations"))
              .withColumn("alternation_ok",
                          (F.col("n_violations") == 0).cast("int")))
+
+
+def burst_detection(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Event-rate burst detection — the ingestion-QA tripwire for
+    scraper storms / replayed batches: bucket the event stream by
+    time, z-score every bucket against the stream's own mean/stddev,
+    flag buckets beyond ``z_threshold``.
+
+    Determinism (cross-engine exact): per-bucket counts are integers;
+    the corpus stats (Σn, Σn², K) are EXACT integer sums, and mean /
+    variance / z are a fixed-order double expression over them —
+    identical IEEE arithmetic on any engine, no float fold anywhere.
+    ``z`` is NULL when the stream is constant (zero variance).
+
+    Scale shape (100 TB): ONE map-side-combined agg on the bounded
+    time-bucket key; the 1-row stats relation cross-joins back as a
+    broadcast.  NULL timestamps are dropped (no bucket).
+
+    Output: ``(bucket_start, n_events, z, is_burst)``.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"burst_detection: bucket_seconds must be >= 1,"
+            f" got {bucket_seconds}")
+    # NTZ-safe epoch (the asof_join precedent: cast before
+    # unix_micros; session tz is UTC so DuckDB epoch_us matches);
+    # integer `div` keeps the bucket id exact on both engines
+    bucket_us = bucket_seconds * 1_000_000
+    bucket = (F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                     f" div {bucket_us}")
+              .cast("long").alias("bucket_start"))
+    per = (df.filter(F.col(ts_col).isNotNull())
+             .select(bucket)
+             .groupBy("bucket_start")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    stats = per.agg(
+        F.sum("n_events").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_ss"),
+        F.count(F.lit(1)).alias("_k"))
+    mean = F.col("_s").cast("double") / F.col("_k").cast("double")
+    var = ((F.col("_ss").cast("double")
+            - (F.col("_s").cast("double") * F.col("_s").cast("double"))
+            / F.col("_k").cast("double"))
+           / F.col("_k").cast("double"))
+    z = ((F.col("n_events").cast("double") - mean)
+         / F.sqrt(F.nullif(var, F.lit(0.0))))
+    return (per.crossJoin(F.broadcast(stats))
+               .select("bucket_start", "n_events",
+                       F.round(z, 4).alias("z"),
+                       F.coalesce(z > F.lit(float(z_threshold)),
+                                  F.lit(False)).cast("int")
+                        .alias("is_burst")))
