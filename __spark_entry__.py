@@ -1238,6 +1238,18 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+def _q_lexical_diversity(spark, sf_dir):
+    """Type-token ratio + hapax share per document — the lexical
+    diversity signal next to quality/Gopher (template spam: low TTR;
+    gibberish: hapax near 1).  Entirely narrow HOF Project; counts
+    exact, ratios single double divisions."""
+    from vision_parse_spark.functions.text_stats import (
+        lexical_diversity,
+    )
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def _q_burst_detection(spark, sf_dir):
     """Event-rate burst QA: hourly buckets z-scored against the
     stream's own mean/std.  Fully exact cross-engine — per-bucket
@@ -1542,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_quantize": _q_scalar_quantize,
         "keyword_extract": _q_keyword_extract,
         "burst_detection": _q_burst_detection,
+        "lexical_diversity": _q_lexical_diversity,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3581,6 +3594,27 @@ def oracle_sql() -> dict[str, str]:
                      substring(text, 20, 40) AS fragment
               FROM documents WHERE doc_id < 5) f
           ON contains(d.text, f.fragment)
+    """
+    out["lexical_diversity"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                   lower(trim(coalesce(text, ''))), '\s+'),
+                   x -> x != '') AS ts
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(ts) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+                 CAST(len(list_filter(list_distinct(ts), t ->
+                   len(list_filter(ts, x -> x = t)) = 1))
+                   AS BIGINT) AS n_hapax
+          FROM d)
+        SELECT doc_id, n_tokens, n_types, n_hapax,
+               round(n_types / nullif(n_tokens, 0), 6) AS ttr,
+               round(n_hapax / nullif(n_tokens, 0), 6)
+                 AS hapax_ratio
+        FROM c
     """
     out["burst_detection"] = """
         WITH per AS (

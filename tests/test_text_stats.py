@@ -398,3 +398,29 @@ def test_keyword_extract_partition_invariance(spark):
     a = sorted(map(tuple, keyword_extract(d.coalesce(1)).collect()))
     b = sorted(map(tuple, keyword_extract(d.repartition(13)).collect()))
     assert a == b
+
+
+def test_lexical_diversity_hand_values(spark):
+    from vision_parse_spark.functions.text_stats import (
+        lexical_diversity)
+
+    d = spark.createDataFrame(
+        [(0, "a b a c"), (1, "x x x"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in lexical_diversity(d).collect()}
+    r0 = got[0]   # types {a,b,c}; hapax {b,c}
+    assert (r0.n_tokens, r0.n_types, r0.n_hapax) == (4, 3, 2)
+    assert r0.ttr == 0.75 and r0.hapax_ratio == 0.5
+    assert (got[1].n_types, got[1].n_hapax) == (1, 0)
+    for i in (2, 3):   # empty and NULL: zero counts, NULL ratios
+        assert (got[i].n_tokens, got[i].ttr) == (0, None)
+
+
+def test_lexical_diversity_no_shuffle(spark):
+    from vision_parse_spark.functions.text_stats import (
+        lexical_diversity)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (lexical_diversity(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan

@@ -102,3 +102,43 @@ def doc_fingerprint(s: pd.Series, *, mod: int = (1 << 61) - 1) -> pd.Series:
     )
     h = pd.util.hash_pandas_object(norm, index=False).to_numpy()
     return pd.Series((h % mod).astype("int64"), index=s.index)
+
+
+def lexical_diversity(df, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-document lexical diversity — type-token ratio and hapax
+    share, the corpus-linguistics signals next to the quality /
+    Gopher heuristics (template spam: low TTR; gibberish: hapax
+    share near 1).
+
+    Entirely narrow (zero shuffle, zero Python): one codegen'd
+    Project of higher-order functions over the shared
+    :func:`ws_tokens` stream.  The hapax count is the O(V*N)
+    nested-filter fold — fine for document-sized arrays (the
+    per-row cost is bounded by the row, not the corpus).  Counts
+    are exact integers; the two ratios are single double divisions
+    (bit-identical cross-engine), NULL for token-less docs.
+
+    Output: ``(id_col, n_tokens, n_types, n_hapax, ttr,
+    hapax_ratio)``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = ws_tokens(f"coalesce({text_col}, '')")
+    hapax = (f"size(filter(array_distinct(_toks), t -> "
+             f"size(filter(_toks, x -> x = t)) = 1))")
+    return (df.select(F.col(id_col), toks.alias("_toks"))
+              .select(
+                  id_col,
+                  F.size("_toks").cast("long").alias("n_tokens"),
+                  F.size(F.array_distinct("_toks")).cast("long")
+                   .alias("n_types"),
+                  F.expr(hapax).cast("long").alias("n_hapax"))
+              .select(
+                  id_col, "n_tokens", "n_types", "n_hapax",
+                  F.round(F.col("n_types")
+                          / F.nullif(F.col("n_tokens"), F.lit(0)), 6)
+                   .alias("ttr"),
+                  F.round(F.col("n_hapax")
+                          / F.nullif(F.col("n_tokens"), F.lit(0)), 6)
+                   .alias("hapax_ratio")))
