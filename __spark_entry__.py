@@ -1238,6 +1238,20 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+def _q_source_divergence(spark, sf_dir):
+    """Domain-shift audit: KL(source || corpus) over the unigram
+    distribution coarsened to the corpus top-20 tokens + an 'other'
+    bucket (bounded support BY DESIGN — the scale-honest shape).
+    Exact integer counts; each source's KL is one ordered fold over
+    its token-sorted term list (pagerank precedent), ln under the
+    bm25 ulp analysis."""
+    from vision_parse_spark.operators.corpus_stats import (
+        source_divergence,
+    )
+
+    return source_divergence(_t(spark, sf_dir, "documents"), top_k=20)
+
+
 def _q_lexical_diversity(spark, sf_dir):
     """Type-token ratio + hapax share per document — the lexical
     diversity signal next to quality/Gopher (template spam: low TTR;
@@ -1555,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_extract": _q_keyword_extract,
         "burst_detection": _q_burst_detection,
         "lexical_diversity": _q_lexical_diversity,
+        "source_divergence": _q_source_divergence,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3594,6 +3609,47 @@ def oracle_sql() -> dict[str, str]:
                      substring(text, 20, 40) AS fragment
               FROM documents WHERE doc_id < 5) f
           ON contains(d.text, f.fragment)
+    """
+    out["source_divergence"] = r"""
+        WITH tk AS (
+          SELECT source AS g,
+                 unnest(list_filter(string_split_regex(
+                   lower(trim(text)), '\s+'), x -> x != '')) AS tok
+          FROM documents),
+        st AS (SELECT g, tok, count(*) AS c FROM tk GROUP BY g, tok),
+        corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc
+                   FROM st GROUP BY tok),
+        topk AS (SELECT tok, cc FROM corpus
+                 ORDER BY cc DESC, tok ASC LIMIT 20),
+        nn AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
+        pr AS (
+          SELECT tok, CAST(cc AS DOUBLE)
+                      / (SELECT CAST(n AS DOUBLE) FROM nn) AS p
+          FROM topk
+          UNION ALL
+          SELECT chr(1) || 'other',
+                 CAST((SELECT n FROM nn)
+                      - (SELECT CAST(sum(cc) AS BIGINT) FROM topk)
+                      AS DOUBLE)
+                 / (SELECT CAST(n AS DOUBLE) FROM nn)),
+        coarse AS (
+          SELECT g,
+                 CASE WHEN tok IN (SELECT tok FROM topk) THEN tok
+                      ELSE chr(1) || 'other' END AS tok,
+                 CAST(sum(c) AS BIGINT) AS c
+          FROM st GROUP BY 1, 2),
+        pg AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 list(struct_pack(tok := coarse.tok, c := c, p := pr.p)
+                      ORDER BY coarse.tok) AS terms
+          FROM coarse JOIN pr ON pr.tok = coarse.tok
+          GROUP BY g)
+        SELECT g AS source, n_tokens,
+               round(list_reduce(list_transform(terms, t ->
+                 (CAST(t.c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 * ln((CAST(t.c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                      / t.p)), (x, y) -> x + y), 6) AS kl_vs_corpus
+        FROM pg
     """
     out["lexical_diversity"] = r"""
         WITH d AS (

@@ -424,3 +424,39 @@ def test_lexical_diversity_no_shuffle(spark):
     plan = (lexical_diversity(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_source_divergence_hand_kl(spark):
+    import math
+
+    from vision_parse_spark.operators.corpus_stats import (
+        source_divergence)
+
+    # corpus: A = "a a b", B = "a b b"; top_k=2 covers the full
+    # vocab so the 'other' bucket is empty and KL is the exact
+    # two-term divergence vs the uniform corpus (3 a, 3 b)
+    d = spark.createDataFrame([("A", "a a b"), ("B", "a b b")],
+                              "source string, text string")
+    got = {r.source: r for r in
+           source_divergence(d, top_k=2).collect()}
+    exp = round((2 / 3) * math.log((2 / 3) / 0.5)
+                + (1 / 3) * math.log((1 / 3) / 0.5), 6)
+    assert got["A"].n_tokens == 3
+    assert got["A"].kl_vs_corpus == exp
+    assert got["B"].kl_vs_corpus == exp      # symmetric construction
+    import pytest as _pt
+    with _pt.raises(ValueError, match="top_k"):
+        source_divergence(d, top_k=0)
+    with _pt.raises(ValueError, match="empty corpus"):
+        source_divergence(d.filter("source = 'zzz'"))
+
+
+def test_source_divergence_identical_source_is_zero(spark):
+    from vision_parse_spark.operators.corpus_stats import (
+        source_divergence)
+
+    # one source == the corpus -> KL exactly 0
+    d = spark.createDataFrame([("X", "p q r p")],
+                              "source string, text string")
+    r = source_divergence(d, top_k=3).collect()[0]
+    assert r.kl_vs_corpus == 0.0

@@ -407,3 +407,77 @@ def keyword_extract(df: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select(id_col, "term", "tfidf", "rank"))
+
+
+def source_divergence(df: DataFrame, text_col: str = "text",
+                      group_col: str = "source",
+                      top_k: int = 100) -> DataFrame:
+    """Distribution-shift audit per source: KL(source || corpus) over
+    the unigram distribution COARSENED to the corpus's ``top_k``
+    tokens plus one ``other`` bucket — the mixture/domain-drift
+    tripwire a training pipeline runs when a new shard lands (a
+    source whose token distribution diverges hard from the corpus is
+    either a different domain or a scraper artifact).
+
+    Coarsening is what makes this scale-honest: the support is
+    bounded at ``top_k + 1`` BY DESIGN (never vocabulary-sized), so
+    the per-(source, token) aggregation key is bounded and the
+    per-source fold has a fixed term count.
+
+    Determinism: counts are exact integers; each source's KL is ONE
+    ordered fold over its (token asc, then other) term list —
+    ``0 * ln 0 = 0`` convention for absent tokens — replayed
+    term-for-term by the DuckDB oracle (the pagerank ordered-fold
+    precedent; ``ln`` under the bm25 ulp analysis).  Rounded to 6.
+
+    Output: ``(group_col, n_tokens, kl_vs_corpus)``.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError(f"source_divergence: top_k must be >= 1,"
+                         f" got {top_k}")
+    toks = ws_tokens(text_col)
+    st = (df.select(F.col(group_col).alias("g"),
+                    F.explode(toks).alias("tok"))
+            .groupBy("g", "tok")
+            .agg(F.count(F.lit(1)).alias("c")))
+    corpus = (st.groupBy("tok").agg(F.sum("c").alias("cc"))
+                .orderBy(F.desc("cc"), F.asc("tok")).limit(top_k)
+                .collect())
+    if not corpus:
+        raise ValueError("source_divergence: empty corpus")
+    top = {r["tok"]: r["cc"] for r in corpus}
+    n_corpus = df.select(F.explode(toks)).count()
+    other_corpus = n_corpus - sum(top.values())
+
+    top_arr = F.array(*[F.lit(t) for t in sorted(top)])
+    coarse = (st.withColumn(
+                  "tok", F.when(F.array_contains(top_arr,
+                                                 F.col("tok")),
+                                F.col("tok"))
+                          .otherwise(F.lit("\x01other")))
+                .groupBy("g", "tok").agg(F.sum("c").alias("c")))
+    per_g = coarse.groupBy("g").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("tok", "c")))
+         .alias("_terms"))
+    # corpus probability per term, as an aligned literal map
+    probs = {t: c / n_corpus for t, c in top.items()}
+    probs["\x01other"] = other_corpus / n_corpus
+    pmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in sorted(probs)]),
+        F.array(*[F.expr(f"cast('{probs[t]!r}' as double)")
+                  for t in sorted(probs)]))
+    # ordered fold over the (token asc) term list; absent tokens
+    # contribute 0 (the 0 ln 0 convention) and never enter the list
+    kl = F.expr(
+        "aggregate(_terms, cast(0.0 as double), (acc, t) -> "
+        "acc + (cast(t.c as double) / cast(n_tokens as double)) "
+        "* ln((cast(t.c as double) / cast(n_tokens as double)) "
+        "/ element_at(_pmap, t.tok)))")
+    return (per_g.withColumn("_pmap", pmap)
+                 .select(F.col("g").alias(group_col),
+                         F.col("n_tokens").cast("long")
+                          .alias("n_tokens"),
+                         F.round(kl, 6).alias("kl_vs_corpus")))
