@@ -1238,6 +1238,23 @@ def _q_exact_substring_hits(spark, sf_dir):
     return exact_substring_hits(d, frags)
 
 
+def _q_ivf_adc_topk(spark, sf_dir):
+    """IVF-ADC retrieval (the FAISS IVFPQ shape, non-residual
+    simplification): k-means cells prune candidates (nprobe=3 of 8),
+    PQ codes + per-query LUTs score them — the 100 TB double-cut
+    (prune, then 4-lookup distances).  Oracle composes the two green
+    replay families: the kmeans cell chain + the per-subspace PQ
+    chains, probe ranking and ADC sums as strict folds."""
+    from vision_parse_spark.operators.pq import ivf_adc_topk, pq_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, **_PQ_PARAMS)
+    q = e.filter(F.col("vec_id") < 4)
+    return (ivf_adc_topk(e, q, books, n_centroids=8, nprobe=3,
+                         cell_iters=2, k=5)
+            .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
 def _q_source_divergence(spark, sf_dir):
     """Domain-shift audit: KL(source || corpus) over the unigram
     distribution coarsened to the corpus top-20 tokens + an 'other'
@@ -1570,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detection": _q_burst_detection,
         "lexical_diversity": _q_lexical_diversity,
         "source_divergence": _q_source_divergence,
+        "ivf_adc_topk": _q_ivf_adc_topk,
         "nfc_normalize": _q_nfc_normalize,
         "conv_stats": _q_conv_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1762,6 +1780,42 @@ def oracle_sql() -> dict[str, str]:
           JOIN lut2 l2 ON l2.cid = e.c2 AND l2.query_id = l0.query_id
           JOIN lut3 l3 ON l3.cid = e.c3 AND l3.query_id = l0.query_id
           WHERE e.vec_id != l0.query_id)
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, neighbor_id) AS rank
+          FROM adc)
+        WHERE rank <= 5""")
+
+    _probe_fold = ("list_reduce(list_transform(range(1, 65), i -> "
+                   "(q.v[i] - c.cent[i]) * (q.v[i] - c.cent[i])), "
+                   "(x, y) -> x + y)")
+    ivf_adc_sql = (
+        "WITH " + _kmeans_ctes(8, 2) + ",\n"
+        + _pq_ctes(_pq_m, _pq_k, _pq_it, _pq_sub) + ",\n"
+        + _pq_luts + f""",
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_probe_fold}, c.cid) AS rn
+            FROM (SELECT vec_id, v FROM emb WHERE vec_id < 4) q
+            CROSS JOIN c2 c)
+          WHERE rn <= 3),
+        adc AS (
+          SELECT pb.query_id, e.vec_id AS neighbor_id,
+                 round(l0.d + l1.d + l2.d + l3.d, 6) AS adc_dist
+          FROM enc e
+          JOIN a2 ON a2.vec_id = e.vec_id
+          JOIN probe pb ON pb.cell = a2.cluster
+          JOIN lut0 l0 ON l0.cid = e.c0
+                      AND l0.query_id = pb.query_id
+          JOIN lut1 l1 ON l1.cid = e.c1
+                      AND l1.query_id = pb.query_id
+          JOIN lut2 l2 ON l2.cid = e.c2
+                      AND l2.query_id = pb.query_id
+          JOIN lut3 l3 ON l3.cid = e.c3
+                      AND l3.query_id = pb.query_id
+          WHERE e.vec_id != pb.query_id)
         SELECT query_id, neighbor_id, adc_dist, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY adc_dist, neighbor_id) AS rank
@@ -2746,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": kmeans_sql,
         "pq_codes": pq_codes_sql,
         "pq_adc_topk": pq_adc_sql,
+        "ivf_adc_topk": ivf_adc_sql,
         "scalar_quantize": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

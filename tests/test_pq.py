@@ -120,3 +120,38 @@ def test_scalar_quantize_partition_invariance(spark):
     assert a == b
     with _pt.raises(ValueError, match="levels"):
         scalar_quantize(df, levels=1)
+
+
+def test_ivf_adc_topk_prunes_and_agrees_with_exhaustive(spark):
+    from vision_parse_spark.operators.pq import (
+        ivf_adc_topk, pq_adc_topk, pq_fit)
+
+    df = _vecs(spark, n=40, modes=4)
+    books = pq_fit(df, m=2, k=4, iters=3)
+    q = df.filter(F.col("vec_id") < 2)
+    # with nprobe = n_centroids the search is exhaustive: results
+    # must EQUAL the flat ADC scan (same codes, same LUT folds)
+    full = sorted((r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+                  for r in ivf_adc_topk(df, q, books, n_centroids=4,
+                                        nprobe=4, cell_iters=3,
+                                        k=5).collect())
+    flat = sorted((r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+                  for r in pq_adc_topk(df, q, books, k=5).collect())
+    assert full == flat
+    # nprobe=1 on well-separated modes: the probed cell is the
+    # query's own mode, so every neighbor is same-mode
+    pruned = ivf_adc_topk(df, q, books, n_centroids=4, nprobe=1,
+                          cell_iters=3, k=5).collect()
+    for r in pruned:
+        assert r.neighbor_id % 4 == r.query_id % 4
+
+
+def test_ivf_adc_validation(spark):
+    from vision_parse_spark.operators.pq import ivf_adc_topk, pq_fit
+
+    df = _vecs(spark)
+    books = pq_fit(df, m=2, k=2, iters=1)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_adc_topk(df, df.limit(1), books, n_centroids=4, nprobe=5)
+    with pytest.raises(ValueError, match="empty query"):
+        ivf_adc_topk(df, df.filter("vec_id < 0"), books)

@@ -318,3 +318,103 @@ def scalar_quantize(df: DataFrame, id_col: str = "vec_id",
                     f"array_max(transform(sequence(0, {dim - 1}),"
                     f" i -> abs(_v[i] - {dq})))"), 6)
                 .alias("max_err")))
+
+
+def ivf_adc_topk(df: DataFrame, queries: DataFrame,
+                 codebooks: list[list[list[float]]],
+                 n_centroids: int = 8, nprobe: int = 3,
+                 cell_iters: int = 2, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_digits: int = 6) -> DataFrame:
+    """IVF-ADC search — the FAISS IVFPQ shape (non-residual variant,
+    documented simplification: codes quantize the raw vectors, not
+    the cell residuals): the corpus is partitioned into ``n_centroids``
+    k-means cells, each query probes only its ``nprobe`` nearest
+    cells, and candidates inside probed cells score by PQ
+    asymmetric distance (codes + lookup tables, never raw vectors).
+
+    This is the scale path over :func:`pq_adc_topk`'s exhaustive
+    code scan: the candidate stream shrinks by ~``nprobe /
+    n_centroids`` AND each candidate costs ``m`` lookups — the
+    100 TB retrieval double-cut (prune, then cheap distance).
+
+    Determinism: cell assignment reuses the kmeans_assign contract
+    (tiled argmin, lowest-cell tie-break, the documented ~1e-12
+    oracle band); probe ranking and ADC distances are strict left
+    folds; final ranking (rounded dist, neighbor id).
+
+    Output: ``(query_id, neighbor_id, adc_dist, rank)``.
+    """
+    from .clustering import _assign_col, kmeans_fit
+
+    if nprobe < 1 or nprobe > n_centroids:
+        raise ValueError(f"ivf_adc_topk: need 1 <= nprobe <= "
+                         f"n_centroids, got {nprobe}/{n_centroids}")
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, sub = len(mats), mats[0].shape[1]
+    qrows = (queries.select(F.col(id_col),
+                            F.col(vec_col).cast("array<double>"))
+             .collect())
+    if not qrows:
+        raise ValueError("ivf_adc_topk: empty query set")
+    qids = [r[0] for r in qrows]
+
+    # coarse cells: ONE Lloyd training, assignments from the same
+    # cached relation (the kmeans_assign contract kernel), and the
+    # same centroids rank each query's nprobe probes (strict fold)
+    cents, data = kmeans_fit(df, k=n_centroids, iters=cell_iters,
+                             id_col=id_col, vec_col=vec_col)
+    cmat = np.asarray(cents, dtype=np.float64)
+    cells = (data.select(F.col(id_col), _assign_col("_v", cents))
+                 .localCheckpoint(eager=True))
+    data.unpersist()
+
+    probes = []                      # (query_idx, cell)
+    luts = np.empty((len(qrows), m, mats[0].shape[0]))
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r[1], dtype=np.float64)
+        d2 = np.cumsum((qv[None, :] - cmat) ** 2, axis=1)[:, -1]
+        order = np.lexsort((np.arange(len(d2)), d2))  # dist, then cid
+        probes += [(qi, int(c)) for c in order[:nprobe]]
+        for j, cm in enumerate(mats):
+            sq = (qv[j * sub:(j + 1) * sub][None, :] - cm) ** 2
+            luts[qi, j] = np.cumsum(sq, axis=1)[:, -1]
+
+    probe_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            probes, "query_idx int, cluster int"))
+    codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    cand = (codes.join(cells.withColumnRenamed(id_col, "_cid"),
+                       codes[id_col] == F.col("_cid"))
+                 .join(probe_df, "cluster")
+                 .select("query_idx", F.col(id_col), "codes"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = pdf["query_idx"].to_numpy()
+            acc = luts[qi, 0, cd[:, 0]]
+            for j in range(1, m):
+                acc = acc + luts[qi, j, cd[:, j]]
+            yield pd.DataFrame({
+                "query_idx": qi,
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "adc_dist": acc,
+            })
+
+    qmap = F.array(*[F.lit(q) for q in qids])
+    sims = (cand.mapInPandas(
+                score, "query_idx int, neighbor_id long,"
+                       " adc_dist double")
+            .select(F.element_at(qmap, F.col("query_idx") + 1)
+                    .alias("query_id"),
+                    "neighbor_id",
+                    F.round("adc_dist", round_digits)
+                    .alias("adc_dist"))
+            .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
