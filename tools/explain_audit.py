@@ -527,6 +527,24 @@ def main():
         grab(adc),
     ))
 
+    from vision_parse_spark.operators.pq import ivf_adc_topk
+
+    ivfadc = ivf_adc_topk(emb2, emb2.filter(F.col("vec_id") < 4),
+                          books, n_centroids=8, nprobe=3,
+                          cell_iters=1, k=5)
+    sections.append((
+        "IVF-ADC retrieval (ivf_adc_topk)",
+        "round 6, the FAISS IVFPQ shape (non-residual): cell "
+        "training + assignment are control-plane/narrow (the plan "
+        "reads the checkpointed cell relation); the search joins the "
+        "corpus CODES against the BROADCAST (query, probed-cell) "
+        "pairs — candidates shrink by ~nprobe/n_centroids BEFORE the "
+        "m-lookup ADC kernel, the 100 TB double-cut.  No cartesian; "
+        "the only data-sized exchange is the per-query ranking "
+        "window over the pruned candidate stream.",
+        grab(ivfadc),
+    ))
+
     sq = scalar_quantize(emb2)
     sections.append((
         "Int8 scalar quantization (scalar_quantize)",
