@@ -31,9 +31,16 @@ def _ensure_pkg(spark: SparkSession) -> None:
     package must be distributed explicitly — the sandbox analog of
     ``spark-submit --py-files engine.zip`` (north_rule deploy shape).
     ``addPyFile`` is idempotent per file name."""
+    import hashlib
     import zipfile
 
-    zpath = os.path.join("/tmp", "vision_parse_spark_pyfiles.zip")
+    # repo-path-keyed name: two checkouts (e.g. a measurement worktree
+    # and the main tree) must not race on one zip — a stale shared zip
+    # ships the OTHER tree's code to executors
+    zpath = os.path.join(
+        "/tmp",
+        f"vision_parse_spark_pyfiles_"
+        f"{hashlib.md5(_REPO.encode()).hexdigest()[:8]}.zip")
     src = os.path.join(_REPO, "vision_parse_spark")
     newest = max(
         os.path.getmtime(os.path.join(r, f))
@@ -201,18 +208,20 @@ def _q_lev_similarity(spark, sf_dir):
 def _q_rouge2(spark, sf_dir):
     """ROUGE-2 recall (Lin 2004) on the same adjacent-doc pairing as
     lev_similarity: candidate = doc id_a+1, reference = doc id_a.
-    Pure Catalyst — the bigram streams union with a side tag and
-    aggregate once on (pair, gram), then collapse per pair; no join,
-    no UDF.  Pairs whose reference has < 2 tokens are absent
-    (recall undefined)."""
-    from vision_parse_spark.benchmarks.scoring import rouge_n_pairs
+    Since round 7 the clip/total counts come from the Arrow kernel
+    (``rouge_n_pairs_fast`` — exact integers, so identical to the
+    relational (pair, gram) aggregation it replaces; the division +
+    round stays in Catalyst); the pre-r7 shape shuffled one row per
+    bigram occurrence of both sides.  Pairs whose reference has < 2
+    tokens are absent (recall undefined)."""
+    from vision_parse_spark.benchmarks.scoring import rouge_n_pairs_fast
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
     p = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    return rouge_n_pairs(p, ["id_a", "id_b"], cand_col="tb",
-                         ref_col="ta", n=2)
+    return rouge_n_pairs_fast(p, ["id_a", "id_b"], cand_col="tb",
+                              ref_col="ta", n=2)
 
 
 def _q_bloom_tokens(spark, sf_dir):

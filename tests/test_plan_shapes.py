@@ -105,7 +105,10 @@ def test_salted_agg_exactly_two_exchanges(docs):
 def test_chunking_is_narrow(docs):
     p = plan_of(chunk_documents(docs.select("doc_id", "text")))
     assert "Exchange" not in p
-    assert "Generate" in p  # posexplode, not a shuffle
+    # round 7: chunk windows come from one Arrow kernel (row-count
+    # changing -> MapInPandas), replacing the interpreted
+    # transform/slice + posexplode; the stage stays shuffle-free
+    assert "MapInPandas" in p
 
 
 def test_pack_contexts_no_single_partition_exchange(docs):

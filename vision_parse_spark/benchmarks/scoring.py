@@ -164,3 +164,62 @@ def rouge_n_pairs(pairs, id_cols: list[str], cand_col: str,
     return per_pair.select(
         *id_cols,
         F.round(F.col("clip") / F.col("tot"), 6).alias(f"rouge{n}"))
+
+
+def rouge_n_pairs_fast(pairs, id_cols: list[str], cand_col: str,
+                       ref_col: str, n: int = 2):
+    """Arrow twin of :func:`rouge_n_pairs` with IDENTICAL results:
+    the clipped-overlap and reference-total counts are exact
+    integers, so computing them per pair in one ``mapInPandas``
+    kernel (Counter intersection over the ``ws_tokens`` stream)
+    instead of a corpus-sized (pair, gram) exchange changes no
+    value; the final ``round(clip / tot, 6)`` stays in Catalyst so
+    even the float division/rounding runs through the same engine
+    code path.  Pairs whose reference has no n-gram are absent,
+    exactly as the relational form's ``r > 0`` filter.
+
+    Scale shape: the (pair, gram) aggregation previously shuffled
+    one row per gram occurrence of BOTH sides (2x corpus token
+    count); this kernel reduces each pair to two integers inside
+    the scan — zero gram-level exchange.
+    """
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text_stats import java_ws_tokens
+
+    if n < 1:
+        raise ValueError(f"rouge_n_pairs_fast: n must be >= 1, got {n}")
+    dtypes = dict(pairs.dtypes)
+    schema = ", ".join([f"{c} {dtypes[c]}" for c in id_cols]
+                       + ["clip long", "tot long"])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            clips, tots, keep = [], [], []
+            for i, (cand, ref) in enumerate(zip(pdf[cand_col],
+                                                pdf[ref_col])):
+                rt = java_ws_tokens(ref)
+                if len(rt) < n:
+                    continue
+                ct = java_ws_tokens(cand)
+                rg = Counter(" ".join(rt[j:j + n])
+                             for j in range(len(rt) - n + 1))
+                cg = Counter(" ".join(ct[j:j + n])
+                             for j in range(len(ct) - n + 1))
+                clips.append(sum(min(v, cg[g]) for g, v in rg.items()))
+                tots.append(sum(rg.values()))
+                keep.append(i)
+            if keep:
+                out = pdf.iloc[keep][list(id_cols)].copy()
+                out["clip"], out["tot"] = clips, tots
+                yield out
+
+    counted = pairs.select(*id_cols, cand_col, ref_col) \
+        .mapInPandas(kernel, schema)
+    return counted.select(
+        *id_cols,
+        F.round(F.col("clip") / F.col("tot"), 6).alias(f"rouge{n}"))

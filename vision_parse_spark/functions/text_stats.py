@@ -32,6 +32,52 @@ def ws_tokens(text_col: str):
 
     return F.expr(ws_tokens_sql(text_col))
 
+
+# Java's Pattern \s (what Spark's split(.., '\\s+') matches) is the
+# ASCII class [ \t\n\x0b\f\r]; Python's re \s is unicode-wide, so the
+# Arrow twins spell the class out for engine parity (the SimHash
+# kernel precedent — dedup._TOKEN_SPLIT_RE aliases this).
+import re as _re  # noqa: E402
+
+JAVA_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_ws_tokens(text) -> list:
+    """Python twin of :func:`ws_tokens_sql` for Arrow kernels:
+    lower / trim / split on the Java ``\\s+`` class / drop empties —
+    token-identical to the Catalyst expression (pytest-asserted via
+    the SimHash/MinHash portable twins)."""
+    return [t for t in JAVA_WS_RE.split((text or "").strip().lower())
+            if t]
+
+
+def word_ngrams_udf(n: int):
+    """Arrow-batched word ``n``-gram generator over the
+    :func:`ws_tokens_sql` stream — every occurrence, in order (NOT
+    distinct), space-joined: string-identical to the Catalyst
+    ``transform(sequence(0, size(toks) - n), i -> concat_ws(' ',
+    slice(toks, i+1, n)))`` expression, which is an interpreted
+    higher-order lambda and was measured the dominant per-row cost
+    of the gram-exploding operators.  Docs with fewer than ``n``
+    tokens yield an empty array (dropped by the caller's explode,
+    matching the Catalyst ``size >= n`` filter)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    import pandas as pd
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ts = java_ws_tokens(t)
+            out.append([" ".join(ts[i:i + n])
+                        for i in range(len(ts) - n + 1)]
+                       if len(ts) >= n else [])
+        return pd.Series(out, index=texts.index)
+
+    return grams
+
 # tiny marker-word inventories per language (deterministic heuristic —
 # the point is the vectorized counting pattern, not linguistic recall)
 LANG_MARKERS: dict[str, list[str]] = {

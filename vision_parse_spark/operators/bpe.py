@@ -30,6 +30,7 @@ deterministic across engines and partitionings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Row, functions as F
 
 from vision_parse_spark.functions.text_stats import ws_tokens
@@ -51,8 +52,14 @@ def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 def _merge_fold_expr(a: str, b: str) -> str:
     """Left-to-right greedy apply of merge (a, b) over the symbol
-    array as one Catalyst ``aggregate`` fold."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    array as one Catalyst ``aggregate`` fold.  Backslashes are
+    escaped BEFORE quotes (ADVICE r6): a corpus token containing a
+    backslash would otherwise be mangled by Spark's string-literal
+    escape processing (e.g. a literal ``\\n`` becoming a newline)."""
+    def q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    qa, qb = q(a), q(b)
     return (
         "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
         f"case when size(acc) > 0 and element_at(acc, -1) = '{qa}' "
@@ -109,23 +116,48 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
               out_col: str = "bpe_tokens") -> DataFrame:
     """Segment every word of ``text_col`` with a learned merge list
     (applied in rank order — the standard BPE encoder) and flatten
-    the per-word pieces in word order into ``out_col``.  Entirely
-    narrow Catalyst: nested folds inside one Project, no shuffle."""
-    from vision_parse_spark.functions.text_stats import ws_tokens_sql
+    the per-word pieces in word order into ``out_col``.
 
-    inner = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-    for a, b in merges:
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        inner = (
-            f"aggregate({inner}, cast(array() as array<string>), "
-            f"(acc, x) -> case when size(acc) > 0 and "
-            f"element_at(acc, -1) = '{qa}' and x = '{qb}' then "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
-            f"else concat(acc, array(x)) end)"
-        )
-    expr = (f"flatten(transform({ws_tokens_sql(text_col)}, "
-            f"w -> {inner}))")
-    return df.withColumn(out_col, F.expr(expr))
+    One narrow Arrow pass, zero shuffle.  The round-7 kernel applies
+    each merge with the EXACT left-to-right greedy fold the old
+    nested Catalyst ``aggregate`` expressions implemented (pure
+    string algebra — no floats, so the pieces are identical), but
+    each UNIQUE word of a batch is encoded once and mapped back,
+    instead of paying ``n_merges`` interpreted folds per word
+    OCCURRENCE.  Merge symbols are plain Python strings, which also
+    removes the SQL-literal escaping hazard of interpolated
+    expressions (ADVICE r6)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from vision_parse_spark.functions.text_stats import java_ws_tokens
+
+    mlist = [(str(a), str(b)) for a, b in merges]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            pieces = cache.get(word)
+            if pieces is None:
+                syms = list(word)
+                for a, b in mlist:
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    syms = out
+                pieces = cache[word] = syms
+            return pieces
+
+        return pd.Series(
+            [[p for w in java_ws_tokens(t) for p in enc(w)]
+             for t in texts],
+            index=texts.index)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))
 
 
 def bpe_fertility(df: DataFrame, merges: list[tuple[str, str]],

@@ -27,26 +27,44 @@ def chunk_documents(
     (row preserved, P1 ethos)."""
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}, {max_tokens}")
+    import math
+
+    import pandas as pd
+
+    from ..functions.text_stats import JAVA_WS_RE
+
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    # number of chunks = 1 + ceil(max(n - max_tokens, 0) / stride)
-    n_chunks = F.lit(1) + F.ceil(
-        F.greatest(n - F.lit(max_tokens), F.lit(0)) / F.lit(stride)
-    ).cast("int")
-    chunks = F.expr(
-        f"transform(sequence(0, _n_chunks - 1), "
-        f"i -> concat_ws(' ', slice(_toks, i * {stride} + 1, {max_tokens})))"
-    )
-    out = (
-        df.withColumn("_toks", toks)
-        .withColumn("_n_chunks", n_chunks)
-        .withColumn("_chunks", chunks)
-        .select(
-            id_col,
-            F.posexplode("_chunks").alias("chunk_idx", "chunk_text"),
-        )
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    # Arrow kernel (round 7): the chunk windows were an interpreted
+    # Catalyst transform/slice lambda — O(n_chunks * max_tokens) per
+    # doc outside codegen.  The kernel builds string-identical chunks
+    # (split(trim(text), '\\s+') tokens — Java \\s class, NO empty
+    # filter, so an empty doc tokenizes to [''] and yields one empty
+    # chunk, row preserved); ``n_tokens`` stays a Catalyst expression
+    # over the chunk strings, unchanged.
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, texts = [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                # Spark's trim() strips SPACE chars only (not \t\n) —
+                # and unlike the ws_tokens recipe there is no empty-
+                # token filter here, so the exact strip set matters
+                toks = JAVA_WS_RE.split((t or "").strip(" "))
+                n = len(toks)
+                n_chunks = 1 + math.ceil(max(n - max_tokens, 0) / stride)
+                for i in range(n_chunks):
+                    ids.append(rid)
+                    idxs.append(i)
+                    texts.append(
+                        " ".join(toks[i * stride:i * stride + max_tokens]))
+            yield pd.DataFrame({id_col: ids, "chunk_idx": idxs,
+                                "chunk_text": texts})
+
+    out = df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, chunk_idx int, chunk_text string")
     return out.withColumn(
         "n_tokens",
         F.when(F.length("chunk_text") == 0, F.lit(0)).otherwise(

@@ -110,7 +110,17 @@ def quality_classifier_fit(
         .withColumn("y", F.lit(0))
     tgt = _doc_buckets(target_df, id_col, text_col, n_buckets) \
         .withColumn("y", F.lit(1))
-    train = raw.unionByName(tgt).select("y", "bkts").persist()
+    return _fit_from_features(raw, tgt, n_buckets, iters, lr)
+
+
+def _fit_from_features(raw_feats: DataFrame, tgt_feats: DataFrame,
+                       n_buckets: int, iters: int, lr: float
+                       ) -> tuple[np.ndarray, float]:
+    """GD loop over pre-featurized ``(…, bkts, y)`` frames — split
+    out so :func:`quality_classifier` can featurize the raw corpus
+    ONCE and reuse the relation for scoring."""
+    train = raw_feats.unionByName(tgt_feats, allowMissingColumns=True) \
+        .select("y", "bkts").persist()
     n_docs = train.count()
     if n_docs == 0:
         train.unpersist()
@@ -176,9 +186,28 @@ def quality_classifier(
     keep_threshold: float = 0.5,
 ) -> DataFrame:
     """Fit on ``raw_df`` (label 0) vs ``target_df`` (label 1), then
-    score ``score_df`` (default: ``raw_df``)."""
-    w, b = quality_classifier_fit(raw_df, target_df, id_col, text_col,
-                                  n_buckets, iters, lr)
-    return quality_classifier_score(
-        raw_df if score_df is None else score_df, w, b,
-        id_col, text_col, keep_threshold)
+    score ``score_df`` (default: ``raw_df``).
+
+    The raw corpus is featurized ONCE (md5 gram hashing is the
+    dominant cost); the same ``(id, bkts)`` relation feeds the GD
+    loop and — in the default score-the-raw-corpus case — the scoring
+    kernel, instead of re-running the featurization."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    raw_feats = _doc_buckets(raw_df, id_col, text_col, n_buckets) \
+        .localCheckpoint(eager=True)
+    tgt_feats = _doc_buckets(target_df, id_col, text_col, n_buckets)
+    w, b = _fit_from_features(raw_feats.withColumn("y", F.lit(0)),
+                              tgt_feats.withColumn("y", F.lit(1)),
+                              n_buckets, iters, lr)
+    if score_df is None:
+        id_type = dict(raw_df.dtypes)[id_col]
+        out = raw_feats.mapInPandas(
+            _score_fn(np.asarray(w, float), float(b), id_col),
+            f"{id_col} {id_type}, score double")
+        return out.withColumn("quality_keep",
+                              F.col("score") >= F.lit(keep_threshold))
+    return quality_classifier_score(score_df, w, b, id_col, text_col,
+                                    keep_threshold)

@@ -159,16 +159,17 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
     tokens) used across the dedup family — previously this inlined
     the split WITHOUT the empty filter, so an empty/whitespace-only
     doc contributed ``''`` as a unigram at ``n=1`` (round-5 advice);
-    the DuckDB oracle replays the filtered recipe exactly."""
-    toks = ws_tokens(text_col)
-    grams = F.expr(
-        f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
-    )
+    the DuckDB oracle replays the filtered recipe exactly.
+
+    Gram generation runs through the Arrow kernel
+    (:func:`~vision_parse_spark.functions.text_stats.word_ngrams_udf`
+    — string-identical grams; the interpreted Catalyst slice lambda
+    it replaces dominated the scan)."""
+    from vision_parse_spark.functions.text_stats import word_ngrams_udf
+
+    grams = word_ngrams_udf(n)
     return (
-        df.select(toks.alias("_toks"))
-        .filter(F.size("_toks") >= n)
-        .select(F.explode(grams).alias("ngram"))
+        df.select(F.explode(grams(F.col(text_col))).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("ngram"))
@@ -344,13 +345,11 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
         typed = df.select(F.col(group_col).alias("g"),
                           F.explode(ws_tokens(text_col)).alias("tok"))
     else:
-        grams = F.expr(
-            f"transform(sequence(0, size(_toks) - {n}), "
-            f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))")
-        typed = (df.select(F.col(group_col).alias("g"),
-                           ws_tokens(text_col).alias("_toks"))
-                   .filter(F.size("_toks") >= n)
-                   .select("g", F.explode(grams).alias("tok")))
+        from vision_parse_spark.functions.text_stats import word_ngrams_udf
+
+        grams = word_ngrams_udf(n)
+        typed = df.select(F.col(group_col).alias("g"),
+                          F.explode(grams(F.col(text_col))).alias("tok"))
     first = typed.groupBy("tok").agg(F.min("g").alias("g"))
     per_group = (first.groupBy("g")
                       .agg(F.count(F.lit(1)).alias("new_types")))
@@ -391,10 +390,14 @@ def keyword_extract(df: DataFrame, id_col: str = "doc_id",
     n_docs = df.count()
     if n_docs == 0:
         raise ValueError("keyword_extract: empty corpus")
+    # checkpointed: document frequency AND the score join both read
+    # this relation — without the barrier the explode+agg shuffle
+    # runs twice (guide §2.4)
     tf = (df.select(F.col(id_col),
                     F.explode(ws_tokens(text_col)).alias("term"))
             .groupBy(id_col, "term")
-            .agg(F.count(F.lit(1)).alias("tf")))
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (tf.join(F.broadcast(dfreq), "term")
                 .select(id_col, "term",
@@ -438,17 +441,23 @@ def source_divergence(df: DataFrame, text_col: str = "text",
         raise ValueError(f"source_divergence: top_k must be >= 1,"
                          f" got {top_k}")
     toks = ws_tokens(text_col)
+    # checkpointed: the (group, token) counts previously recomputed
+    # the corpus explode+agg for BOTH the top-k collect and the
+    # coarsening pass, and a THIRD full explode counted the corpus
+    # total — n_corpus is the exact integer sum of these counts, so
+    # one pass now feeds all three consumers (guide §2.4)
     st = (df.select(F.col(group_col).alias("g"),
                     F.explode(toks).alias("tok"))
             .groupBy("g", "tok")
-            .agg(F.count(F.lit(1)).alias("c")))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True))
     corpus = (st.groupBy("tok").agg(F.sum("c").alias("cc"))
                 .orderBy(F.desc("cc"), F.asc("tok")).limit(top_k)
                 .collect())
     if not corpus:
         raise ValueError("source_divergence: empty corpus")
     top = {r["tok"]: r["cc"] for r in corpus}
-    n_corpus = df.select(F.explode(toks)).count()
+    n_corpus = int(st.agg(F.sum("c")).first()[0])
     other_corpus = n_corpus - sum(top.values())
 
     top_arr = F.array(*[F.lit(t) for t in sorted(top)])

@@ -77,8 +77,17 @@ def ngram_jaccard_adjacent(df: DataFrame, id_col: str = "doc_id",
     old ``ngram_jaccard_pairs`` name promised all-pairs).  A cheap,
     fully-relational jaccard demonstrator and oracle anchor; for
     all-pairs at scale route candidates through ``minhash_lsh_pairs``
-    and verify with the same array_intersect/array_union expression."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    and verify with the same array_intersect/array_union expression.
+
+    Shingling runs ONCE through the Arrow kernel and is checkpointed
+    (gram sets identical to ``with_shingles`` by construction,
+    pytest-asserted): the a/b sides of the adjacent join previously
+    each re-evaluated the interpreted shingle transform over the full
+    corpus (the two join sides shuffle on different keys, so Spark
+    cannot reuse the exchange)."""
+    sh_udf = make_shingle_udf(n)
+    sh = (df.select(id_col, sh_udf(F.col(text_col)).alias("shingles"))
+            .localCheckpoint(eager=True))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)  # sort-merge on range
@@ -252,12 +261,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # joins (tiny cand side -> broadcast) instead of recomputing the
     # banded self-join lineage inside the verify job
     banded.unpersist()  # cand is materialized; signatures no longer needed
-    # texts joined back by id (scan twice, cheap vs recomputing the
-    # signature lineage), then exact-jaccard verification
-    a = with_shingles(src, text_col, shingle_n, "sh_a").select(
-        F.col(id_col).alias("id_a"), "sh_a")
-    b = with_shingles(src, text_col, shingle_n, "sh_b").select(
-        F.col(id_col).alias("id_b"), "sh_b")
+    # texts joined back by id, RESTRICTED to candidate ids first
+    # (guide §1.2 per-task work): the interpreted shingle transform
+    # previously ran over the ENTIRE corpus on both verify sides;
+    # semi-joining each side to the (small, materialized) candidate id
+    # set computes shingles only for rows that are actually compared.
+    # Candidate pair set and jaccard expressions are unchanged, so the
+    # verified pair set is identical.
+    # (no explicit broadcast hint: cand is materialized so AQE has
+    # real stats — it broadcasts the id set when small and falls back
+    # to a shuffle join when a pathological corpus makes it big)
+    a = with_shingles(
+        src.join(cand.select(F.col("id_a").alias(id_col)).distinct(),
+                 id_col, "left_semi"),
+        text_col, shingle_n, "sh_a",
+    ).select(F.col(id_col).alias("id_a"), "sh_a")
+    b = with_shingles(
+        src.join(cand.select(F.col("id_b").alias(id_col)).distinct(),
+                 id_col, "left_semi"),
+        text_col, shingle_n, "sh_b",
+    ).select(F.col(id_col).alias("id_b"), "sh_b")
     both = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -314,6 +337,47 @@ def _portable_hash_expr(shingle_col: str) -> str:
     )
 
 
+def make_minhash_portable_udf(num_perm: int = 32, shingle_n: int = 3):
+    """Arrow-batched twin of :func:`with_minhash_portable` producing
+    the EXACT same signature integers: per-doc distinct shingles (the
+    ``_shingle_lists`` recipe — gram sets identical to
+    ``with_shingles`` by construction, pytest-asserted), md5-hex
+    15-digit hashes (``int(md5(s).hexdigest()[:15], 16) % P`` ==
+    ``conv(substring(md5(s),1,15),16,10) % P`` — integer arithmetic,
+    no float), and the same affine permutations reduced with a
+    segmented min.  Each UNIQUE shingle is hashed once per batch and
+    mapped back (the SimHash kernel's trick).  All values are exact
+    int64 (``a*h + b < 2^62``), so the banded bucket strings built
+    from these signatures are byte-identical to the Catalyst path —
+    the portable/oracle construction at Arrow speed."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    a = np.array(_PORTABLE_PERMS_A[:num_perm], dtype=np.int64)
+    b = np.array(_PORTABLE_PERMS_B[:num_perm], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_md5(texts: pd.Series) -> pd.Series:
+        sh = _shingle_lists(texts, shingle_n)
+        lengths = sh.map(len).to_numpy()
+        flat = [s for lst in sh for s in lst]
+        if not flat:
+            return pd.Series([[]] * len(texts), index=texts.index)
+        # factorize (hash-based) beats np.unique (sort-based) ~10x on
+        # large object arrays; each unique shingle is hashed once
+        inv, uniq = pd.factorize(np.array(flat, dtype=object))
+        hu = np.empty(len(uniq), dtype=np.int64)
+        for i, s in enumerate(uniq):
+            hu[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
+                        16) % _PRIME
+        h = hu[inv]
+        perm = (a[:, None] * h[None, :] + b[:, None]) % _PRIME
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        mins = np.minimum.reduceat(perm, offsets, axis=1)
+        return pd.Series(mins.T.tolist(), index=texts.index)
+
+    return minhash_md5
+
+
 def with_minhash_portable(df: DataFrame, text_col: str = "text",
                           num_perm: int = 32, shingle_n: int = 3,
                           out_col: str = "minhash") -> DataFrame:
@@ -338,47 +402,73 @@ def minhash_lsh_pairs_portable(
     num_perm: int = 32, bands: int = 16, shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Full LSH near-dup pair pipeline in portable expressions:
-    signature -> (band, bucket) explode -> bucket self-join -> exact
-    jaccard verify.  Same shuffle plan as ``minhash_lsh_pairs``.
-
-    .. warning:: correctness-contract path ONLY — the banded explode
-       carries the full ``_sh`` shingle arrays through the bucket-join
-       shuffle (~``bands``× duplication of near-document-size arrays).
-       Do not bench or ship this variant at scale; the hot path
-       (``minhash_lsh_pairs``) joins texts back by id instead."""
+    """Full LSH near-dup pair pipeline in the portable (md5)
+    construction: signature -> (band, bucket) explode -> bucket
+    self-join -> exact jaccard verify.  Same shuffle plan as
+    ``minhash_lsh_pairs``, and since round 7 the same physical shape
+    too: signatures come from the Arrow twin
+    (:func:`make_minhash_portable_udf` — byte-identical integers),
+    the banded explode carries ONLY ``(id, band, bucket)`` through
+    the self-join shuffle, and the shingle arrays for the exact
+    jaccard verify are joined back by id for CANDIDATE rows only
+    (previously every banded row dragged its full ``_sh`` array
+    through the bucket shuffle — ``bands``× duplication of
+    near-document-size arrays, the do-not-ship warning this change
+    removes)."""
     rows_per_band = num_perm // bands
-    sig = with_minhash_portable(df.select(id_col, text_col), text_col,
-                                num_perm, shingle_n)
-    banded = sig.select(
-        F.col(id_col), "_sh",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> concat_ws(',', slice(minhash, b * {rows_per_band} + 1,"
-            f" {rows_per_band})))"
-        )).alias("band", "bucket"),
-    ).persist()
+    src = df.select(id_col, text_col)
+    mh_udf = make_minhash_portable_udf(num_perm, shingle_n)
+    banded = (
+        src.withColumn("minhash", mh_udf(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> concat_ws(',', slice(minhash, "
+                f"b * {rows_per_band} + 1, {rows_per_band})))"
+            )).alias("band", "bucket"),
+        )
+        .persist()
+    )
     banded.count()  # materialize before the self-join (both sides
     # must read the cache, not recompute the signature lineage)
-    left = banded.select(F.col(id_col).alias("id_a"),
-                         F.col("_sh").alias("sh_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"),
-                          F.col("_sh").alias("sh_b"), "band", "bucket")
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    cand.count()  # materialize: AQE gets real stats for the verify
+    # joins and the banded cache can be released
+    banded.unpersist()
+    # shingles for candidate ids only — the same ``with_shingles``
+    # expression the signature's gram sets are derived from
+    a = with_shingles(
+        src.join(cand.select(F.col("id_a").alias(id_col)).distinct(),
+                 id_col, "left_semi"),
+        text_col, shingle_n, "sh_a",
+    ).select(F.col(id_col).alias("id_a"), "sh_a")
+    b = with_shingles(
+        src.join(cand.select(F.col("id_b").alias(id_col)).distinct(),
+                 id_col, "left_semi"),
+        text_col, shingle_n, "sh_b",
+    ).select(F.col(id_col).alias("id_b"), "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
     # pairs is small (post-threshold); truncate its lineage eagerly so
-    # the banded cache can be released NOW instead of accumulating in
-    # executor storage across a 31-query contract run.
+    # the candidate cache can be released NOW instead of accumulating
+    # in executor storage across a contract run.
     pairs = pairs.localCheckpoint(eager=True)
-    banded.unpersist()
+    cand.unpersist()
     return pairs
 
 
@@ -413,24 +503,97 @@ def dup_clusters(
     (a bounded convergence check per round); ``localCheckpoint``
     truncates the growing lineage each round.
 
+    Round-7 scale shape: a partition-local union-find CONTRACTION
+    pre-pass (one ``mapInPandas`` over the pair partitions, no
+    shuffle) replaces each partition's edge set with the star edges
+    ``(node, partition-local root)`` — exactly the same connectivity,
+    far fewer edges and a near-1 diameter per partition — so the
+    global loop converges in 2-3 rounds on real dup graphs instead
+    of O(log diameter) over the raw edge list.  Each round is then
+    ONE join + min-aggregation over the star graph WITH self-loops
+    (own label rides the self-loop, fusing the old separate
+    own-vs-neighbor coalesce join away) followed by the pointer
+    jump.  The final labels are the exact component minima either
+    way — partitioning changes the round count, never the output.
+
     Output covers every vertex that appears in at least one pair
     (singletons never enter the graph).  Raises ``RuntimeError`` if
     ``max_iter`` is exhausted before the labels reach a fixed point."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
+    a_type = pairs.schema[id_a].dataType.simpleString()
+    b_type = pairs.schema[id_b].dataType.simpleString()
+
+    def _local_star(batches):
+        """Union-find over this partition's edges; emits (node, root)
+        per non-root node + (root, root) so every vertex survives."""
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for x, y in zip(pdf[id_a], pdf[id_b]):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    # union by min keeps roots deterministic per
+                    # partition (not required for correctness — the
+                    # final labels are exact component minima)
+                    if ry < rx:
+                        rx, ry = ry, rx
+                    parent[ry] = rx
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({
+                "src": nodes, "dst": [find(n) for n in nodes]})
+
+    star = pairs.select(F.col(id_a), F.col(id_b)).mapInPandas(
+        _local_star, f"src {a_type}, dst {b_type}")
+    # symmetric star edges + a self-loop per vertex (every vertex
+    # appears as a star src): the per-round min over neighbors then
+    # includes the own label for free, keeping labels monotone
+    # non-increasing — the convergence invariant
     sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        star.select("src", "dst")
+        .unionByName(star.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .unionByName(star.select("src", F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    def _jump(merged: DataFrame) -> DataFrame:
+        """Pointer-jump (path-halving) self-join over a
+        (doc_id, cluster_id) relation."""
+        return (
+            merged.alias("x")
+            .join(merged.select(F.col("doc_id").alias("_lid"),
+                                F.col("cluster_id").alias("_lcl"))
+                  .alias("y"),
+                  F.col("x.cluster_id") == F.col("y._lid"), "left")
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.coalesce(F.col("y._lcl"), F.col("x.cluster_id"))
+                .alias("cluster_id"),
+            )
+        )
+
+    # ROUND 1 without a join: over identity labels, "min of self+
+    # neighbor labels" is exactly min(dst) over the self-looped star
+    # edges — one groupBy, no label-init relation, no init checkpoint
+    labels = _jump(
+        sym.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("cluster_id"))
+    ).localCheckpoint(eager=True)
     # Convergence check: labels are MONOTONE NON-INCREASING (least of
     # own and neighbor minima; the pointer jump substitutes a label
     # whose own label is <= it), so for NUMERIC ids the exact label
@@ -448,40 +611,36 @@ def dup_clusters(
         next(f.dataType for f in labels.schema.fields
              if f.name == "cluster_id"), IntegralType)
 
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
-
     def _changed_count(new: DataFrame, old: DataFrame) -> int:
         return (new.alias("n").join(old.alias("o"), "doc_id")
                 .filter("n.cluster_id != o.cluster_id").count())
 
-    prev_sum = _label_sum(labels) if summable else None
-    for _ in range(max_iter):
-        neighbor_min = (
+    # round-1 convergence against the (never materialized) identity
+    # labels: one aggregate compares sum(cluster_id) to sum(doc_id)
+    if summable:
+        first = labels.agg(
+            F.sum(F.col("doc_id").cast("decimal(38,0)")),
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()
+        prev_sum = first[1]
+        if first[0] == prev_sum:
+            return labels
+    else:
+        prev_sum = None
+        if labels.filter("cluster_id != doc_id").count() == 0:
+            return labels
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))).first()[0]
+
+    for _ in range(max_iter - 1):
+        # min over self+neighbor labels in ONE join+agg (the self-loop
+        # carries the own label), then the pointer-jump self-join
+        new_labels = _jump(
             sym.join(labels, sym["dst"] == labels["doc_id"])
             .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("_nmin"))
-        )
-        merged = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("cluster_id"),
-                    F.coalesce(F.col("_nmin"), F.col("cluster_id")))
-            .alias("cluster_id"),
-        )
-        new_labels = (
-            merged.alias("x")
-            .join(merged.select(F.col("doc_id").alias("_lid"),
-                                F.col("cluster_id").alias("_lcl"))
-                  .alias("y"),
-                  F.col("x.cluster_id") == F.col("y._lid"), "left")
-            .select(
-                F.col("x.doc_id").alias("doc_id"),
-                F.coalesce(F.col("y._lcl"), F.col("x.cluster_id"))
-                .alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint(eager=True)
         if summable:
             new_sum = _label_sum(new_labels)
             converged = new_sum == prev_sum
@@ -542,24 +701,52 @@ def minhash_dedup_incremental(
         f"b -> concat_ws(',', slice(minhash, b * {rows_per_band} + 1,"
         f" {rows_per_band})))"
     )
+    mh_udf = make_minhash_portable_udf(num_perm, shingle_n)
 
     def banded(side: DataFrame, suffix: str) -> DataFrame:
-        sig = with_minhash_portable(side.select(id_col, text_col),
-                                    text_col, num_perm, shingle_n)
-        return sig.select(
-            F.col(id_col).alias(f"id_{suffix}"),
-            F.col("_sh").alias(f"sh_{suffix}"),
-            F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
+        # Arrow signature twin (byte-identical integers); the banded
+        # rows carry ONLY (id, band, bucket) through the bucket-join
+        # shuffle — shingles are joined back for collided pairs below
+        return (
+            side.select(id_col, text_col)
+            .withColumn("minhash", mh_udf(F.col(text_col)))
+            .select(
+                F.col(id_col).alias(f"id_{suffix}"),
+                F.posexplode(F.expr(band_expr)).alias("band", "bucket"),
+            )
         )
 
     n = banded(new_df, "n").persist()
     n.count()  # barrier: both the join and the anti-join lineage
     c = banded(corpus_df, "c")
+    # distinct collided pairs first (a pair colliding in several bands
+    # was previously verified once per collision; the loser set is a
+    # distinct over id_n either way), then shingles for EXACTLY the
+    # collided rows
+    coll = (
+        n.join(c, ["band", "bucket"])
+        .select("id_n", "id_c")
+        .dropDuplicates(["id_n", "id_c"])
+        .persist()
+    )
+    coll.count()
+    sh_n = with_shingles(
+        new_df.select(id_col, text_col)
+        .join(coll.select(F.col("id_n").alias(id_col)).distinct(),
+              id_col, "left_semi"),
+        text_col, shingle_n, "sh_n",
+    ).select(F.col(id_col).alias("id_n"), "sh_n")
+    sh_c = with_shingles(
+        corpus_df.select(id_col, text_col)
+        .join(coll.select(F.col("id_c").alias(id_col)).distinct(),
+              id_col, "left_semi"),
+        text_col, shingle_n, "sh_c",
+    ).select(F.col(id_col).alias("id_c"), "sh_c")
     inter = F.size(F.array_intersect("sh_n", "sh_c"))
     union = F.size(F.array_union("sh_n", "sh_c"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     losers = (
-        n.join(c, ["band", "bucket"])
+        coll.join(sh_n, "id_n").join(sh_c, "id_c")
         .select("id_n", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("id_n").alias(id_col))
@@ -568,6 +755,7 @@ def minhash_dedup_incremental(
     out = new_df.join(losers, id_col, "left_anti")
     out = out.localCheckpoint(eager=True)
     n.unpersist()
+    coll.unpersist()
     if dedup_within_batch:
         out = minhash_dedup_portable(
             out, id_col, text_col, num_perm=num_perm, bands=bands,
@@ -605,20 +793,27 @@ def _simhash_lo_hi_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     if not flat:
         return lo, hi
     lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
-    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    # factorize (hash) beats np.unique (sort) ~10x on object arrays
+    inv, uniq = pd.factorize(np.array(flat, dtype=object))
     h_lo = np.empty(len(uniq), dtype=np.int64)
     h_hi = np.empty(len(uniq), dtype=np.int64)
     for i, t in enumerate(uniq):
         d = hashlib.md5(t.encode("utf-8")).hexdigest()
         h_lo[i] = int(d[0:15], 16) % _PRIME   # substring(md5, 1, 15)
         h_hi[i] = int(d[16:31], 16) % _PRIME  # substring(md5, 17, 15)
-    doc_ids = np.repeat(np.arange(n), lengths)
+    # per-doc ±1 bit sums via reduceat over the doc-ordered token
+    # stream (buffered, vs the unbuffered np.add.at scatter that
+    # dominated this kernel — measured ~5x on the signature pass).
+    # reduceat cannot represent empty segments, so reduce over the
+    # nonempty docs' offsets and scatter back (empty docs keep 0s —
+    # identical integers either way).
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    ne = np.flatnonzero(lengths)
     ks = np.arange(32, dtype=np.int64)
     for h, out in ((h_lo, lo), (h_hi, hi)):
-        bits = ((h[inv][:, None] >> ks) & 1) * 2 - 1  # ±1 per bit
-        acc = np.zeros((n, 32), dtype=np.int64)
-        np.add.at(acc, doc_ids, bits)
-        out[:] = ((acc > 0).astype(np.int64) << ks).sum(axis=1)
+        bits = (((h[inv][:, None] >> ks) & 1) * 2 - 1).astype(np.int32)
+        acc = np.add.reduceat(bits, offsets[ne], axis=0)
+        out[ne] = ((acc > 0).astype(np.int64) << ks).sum(axis=1)
     return lo, hi
 
 
@@ -776,10 +971,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     hash is the engine-portable md5 construction, so DuckDB replays
     the whole selection.
 
-    Scale shape (100 TB): entirely per-row Catalyst higher-order
-    functions inside whole-stage codegen — zero shuffle, zero
-    Python; O(n_grams * w) work per doc.  The output explode is the
-    only row growth (~``2/(w+1)`` of the gram count).
+    Scale shape (100 TB): one ``mapInPandas`` pass — zero shuffle,
+    per-row work only; O(n_grams * w) numpy sliding-window kernels
+    per doc instead of the pre-round-7 interpreted Catalyst
+    higher-order lambdas (measured ~10x at sf1.0; the selected
+    (pos, hash) set is integer-exact either way).  The output
+    explode is the only row growth (~``2/(w+1)`` of the gram count).
 
     Returns ``(id_col, pos, fingerprint)`` — one row per selected
     gram position.
@@ -787,29 +984,53 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     if k < 1 or w < 1:
         raise ValueError(f"winnow_fingerprints: k and w must be >= 1 "
                          f"(got k={k}, w={w})")
-    toks = ws_tokens_sql(text_col)
-    grams = (f"case when size({toks}) >= {k} then "
-             f"transform(sequence(0, size({toks}) - {k}), "
-             f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) "
-             f"else array() end")
-    out = (df.select(F.col(id_col), F.expr(grams).alias("_g"))
-             .filter(F.size("_g") > 0)
-             .withColumn("_h", F.expr(
-                 "transform(_g, g -> cast(conv(substring(md5(g), 1, 15),"
-                 " 16, 10) as bigint))"))
-             .withColumn("_we", F.least(F.lit(w), F.size("_h")))
-             # window minima: m[s] = min(h[s .. s + we - 1])
-             .withColumn("_m", F.expr(
-                 "transform(sequence(0, size(_h) - _we), "
-                 "s -> array_min(slice(_h, s + 1, _we)))"))
-             # i selected iff some covering window's min equals h[i]
-             .withColumn("_sel", F.expr(
-                 "filter(sequence(0, size(_h) - 1), i -> "
-                 "element_at(_h, i + 1) = array_max(slice(_m, "
-                 "greatest(0, i - _we + 1) + 1, "
-                 "least(i, size(_h) - _we) - greatest(0, i - _we + 1)"
-                 " + 1)))")))
-    fps = ("transform(_sel, i -> struct(cast(i as int) as pos, "
-           "element_at(_h, i + 1) as fingerprint))")
-    return (out.select(F.col(id_col), F.explode(F.expr(fps)).alias("_f"))
-               .select(id_col, "_f.pos", "_f.fingerprint"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fps_fn(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_pos, out_fp = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in
+                        _TOKEN_SPLIT_RE.split((text or "").strip().lower())
+                        if t]
+                if len(toks) < k:
+                    continue
+                grams = [" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1)]
+                # each UNIQUE gram hashed once; md5-hex 15-digit parse
+                # == conv(substring(md5(g),1,15),16,10) exactly
+                uniq, inv = np.unique(np.array(grams, dtype=object),
+                                      return_inverse=True)
+                hu = np.empty(len(uniq), dtype=np.int64)
+                for ui, g in enumerate(uniq):
+                    hu[ui] = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                        16)
+                h = hu[inv]
+                n, we = len(h), min(w, len(h))
+                # m[s] = min(h[s .. s+we-1]); i selected iff the max of
+                # the window minima covering i equals h[i] (the exact
+                # Catalyst selection rule, replayed with -inf padding
+                # so truncated edges fall out of the max)
+                m = sliding_window_view(h, we).min(axis=1)
+                pad = np.full(we - 1, np.iinfo(np.int64).min,
+                              dtype=np.int64)
+                mp = np.concatenate([pad, m, pad])
+                cmax = sliding_window_view(mp, we).max(axis=1)[:n]
+                sel = np.flatnonzero(h == cmax)
+                out_id.extend([rid] * len(sel))
+                out_pos.append(sel.astype(np.int32))
+                out_fp.append(h[sel])
+            if out_id:
+                yield pd.DataFrame({
+                    id_col: out_id,
+                    "pos": np.concatenate(out_pos),
+                    "fingerprint": np.concatenate(out_fp),
+                })
+
+    return df.select(id_col, text_col).mapInPandas(
+        fps_fn, f"{id_col} {id_type}, pos int, fingerprint long")

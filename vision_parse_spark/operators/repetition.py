@@ -22,8 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vision_parse_spark.functions.text_stats import ws_tokens
-
 
 def repetition_stats(
     df: DataFrame,
@@ -32,28 +30,27 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document repetition signals: (id, n_lines, dup_line_frac,
     n_bigrams, top_bigram_frac)."""
+    from vision_parse_spark.functions.text_stats import word_ngrams_udf
+
     lines = F.expr(
         f"filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
         f" x -> x != '')"
     )
-    base = df.select(
+    # bigram generation through the Arrow kernel (string-identical to
+    # the interpreted Catalyst slice lambda it replaces; docs with < 2
+    # tokens yield an empty array either way)
+    with_lines = df.select(
         id_col,
         lines.alias("_lines"),
-        ws_tokens(text_col).alias("_toks"),
-    )
-    with_lines = base.select(
+        word_ngrams_udf(2)(F.col(text_col)).alias("_bigrams"),
+    ).select(
         id_col,
         F.size("_lines").alias("n_lines"),
         F.when(F.size("_lines") > 0,
                F.round(1 - F.size(F.array_distinct("_lines"))
                        / F.size("_lines"), 6))
         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
-        F.expr(
-            "CASE WHEN size(_toks) >= 2 THEN transform("
-            "sequence(0, size(_toks) - 2),"
-            " i -> concat_ws(' ', slice(_toks, i + 1, 2)))"
-            " ELSE array() END"
-        ).alias("_bigrams"),
+        "_bigrams",
     )
     exploded = with_lines.select(
         id_col, F.explode_outer("_bigrams").alias("_bg"))

@@ -141,7 +141,14 @@ def _gram_stream(df: DataFrame, id_col: str, text_col: str,
     left un-aggregated: the bucket distribution aggregates it on the
     bounded bucket key (map-side combine makes that exchange B-row
     tiny) and the weight pass aggregates it on the id key, so
-    neither consumer pays a (id, bucket)-keyed data-sized shuffle."""
+    neither consumer pays a (id, bucket)-keyed data-sized shuffle.
+
+    (Round-7 measurement note: an Arrow-kernel twin of this stream
+    — unique-gram md5 hashing per batch — was measured 2.4x SLOWER
+    than this Catalyst form at sf1.0 (14.4s vs 6.1s for the raw
+    stream): Spark's ``md5``/``conv`` are codegen'd natives, and the
+    UDF boundary + per-doc array explode costs more than the
+    interpreted ``zip_with``; the Catalyst form stays.)"""
     toks = ws_tokens(text_col)
     grams = F.expr(
         "concat(toks_, CASE WHEN size(toks_) >= 2 THEN "
@@ -190,11 +197,16 @@ def dsir_logweights(
     q = _bucket_dist(raw_s, "qc")
     p = _bucket_dist(tgt_s, "pc")
     # full outer over the bounded bucket space; unseen buckets get
-    # the smoothing mass only
+    # the smoothing mass only.  Checkpointed (B rows): the totals
+    # collect AND the final ratio join both read it — previously the
+    # ratio branch re-ran BOTH full gram streams a second time
+    # (guide §2.4: the 5 stream evaluations become 3 — the two dist
+    # builds plus the weight pass's own raw re-scan).
     dist = (q.join(p, "bucket", "full_outer")
             .select("bucket",
                     F.coalesce("qc", F.lit(0)).alias("qc"),
-                    F.coalesce("pc", F.lit(0)).alias("pc")))
+                    F.coalesce("pc", F.lit(0)).alias("pc"))
+            .localCheckpoint(eager=True))
     totals = dist.agg(F.sum("qc").alias("qn"),
                       F.sum("pc").alias("pn")).collect()[0]
     qn = float(totals["qn"] or 0)
