@@ -57,6 +57,13 @@ def _ensure_pkg(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zpath)
 
 
+# corpus tables whose consumers do per-row-expensive work (Arrow
+# kernels, interpreted HOFs) BEFORE any exchange; the TPC-H tables
+# are consumed by scan->agg/join plans where Spark's own split
+# sizing is the right mechanism
+_REBALANCE_TABLES = {"documents", "embeddings", "events"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every contract query reads through here, so every query gets
     # the package shipped — UDF closures in package modules pickle BY
@@ -65,7 +72,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # round-5 verify probe caught curate failing exactly this way;
     # addPyFile is idempotent, the zip rebuilds only on mtime change)
     _ensure_pkg(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _REBALANCE_TABLES:
+        # guide §2.5 input skew: a single-file/single-row-group
+        # parquet source is unsplittable, so the whole pre-exchange
+        # stage (signature kernels, gram explodes, window inputs)
+        # would run on ONE task.  Rebalance ONLY when the scan yields
+        # fewer partitions than half the cores — at real scale the
+        # scan already has many splits and this is a no-op (metadata
+        # check, no job).
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(p // 2, 1):
+            df = df.repartition(p)
+    return df
 
 
 # ---------------------------------------------------------------------------

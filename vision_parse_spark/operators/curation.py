@@ -170,6 +170,11 @@ def curate_full(
         .join(qual, id_col, "left_semi")
         .join(rep, id_col, "left_semi")
     )
+    # materialize the gate survivors ONCE (the curate() barrier,
+    # round-7): decontaminate reads its train side twice (gram stream
+    # + the anti-join back), so without this the quality regexes and
+    # the repetition explode-agg recompute per read
+    gated = gated.localCheckpoint(eager=True)
     decon = decontaminate(gated, eval_df, id_col, text_col,
                           n=decon_n, min_hits=decon_min_hits)
     # one barrier: SemDeDup (k+1 scans for Lloyd), the LSH dedup

@@ -417,9 +417,15 @@ def minhash_lsh_pairs_portable(
     removes)."""
     rows_per_band = num_perm // bands
     src = df.select(id_col, text_col)
+    # small sources often arrive as ONE file -> one partition, which
+    # would serialize the signature kernel (the minhash_lsh_pairs
+    # rebalance rationale); at cluster scale the scan already yields
+    # many splits and AQE coalescing absorbs the extra exchange
+    sig_src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     mh_udf = make_minhash_portable_udf(num_perm, shingle_n)
     banded = (
-        src.withColumn("minhash", mh_udf(F.col(text_col)))
+        sig_src.withColumn("minhash", mh_udf(F.col(text_col)))
         .select(
             F.col(id_col),
             F.posexplode(F.expr(
@@ -706,9 +712,13 @@ def minhash_dedup_incremental(
     def banded(side: DataFrame, suffix: str) -> DataFrame:
         # Arrow signature twin (byte-identical integers); the banded
         # rows carry ONLY (id, band, bucket) through the bucket-join
-        # shuffle — shingles are joined back for collided pairs below
+        # shuffle — shingles are joined back for collided pairs below.
+        # Repartition first: a one-file source would serialize the
+        # signature kernel onto one task (the rebalance rationale).
         return (
             side.select(id_col, text_col)
+            .repartition(side.sparkSession.sparkContext
+                         .defaultParallelism)
             .withColumn("minhash", mh_udf(F.col(text_col)))
             .select(
                 F.col(id_col).alias(f"id_{suffix}"),
