@@ -57,14 +57,8 @@ def _ensure_pkg(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zpath)
 
 
-# corpus tables whose consumers do per-row-expensive work (Arrow
-# kernels, interpreted HOFs) BEFORE any exchange; the TPC-H tables
-# are consumed by scan->agg/join plans where Spark's own split
-# sizing is the right mechanism
-_REBALANCE_TABLES = {"documents", "embeddings", "events"}
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       rebalance: bool = False) -> DataFrame:
     # every contract query reads through here, so every query gets
     # the package shipped — UDF closures in package modules pickle BY
     # REFERENCE (cloudpickle), and a vanilla session built from a
@@ -73,18 +67,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # addPyFile is idempotent, the zip rebuilds only on mtime change)
     _ensure_pkg(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _REBALANCE_TABLES:
-        # guide §2.5 input skew: a single-file/single-row-group
+    if rebalance:
+        # guide §2.5 input skew: a single-file/single-ROW-GROUP
         # parquet source is unsplittable, so the whole pre-exchange
-        # stage (signature kernels, gram explodes, window inputs)
-        # would run on ONE task.  Rebalance ONLY when the scan yields
-        # fewer partitions than half the cores — at real scale the
-        # scan already has many splits and this is a no-op (metadata
-        # check, no job).
+        # stage (signature kernels, gram explodes, interpreted HOF
+        # projections) would run on ONE task.  Opt-in per query —
+        # only consumers with per-row-expensive work BEFORE their
+        # first exchange ask for it (a narrow-cheap query or one
+        # that opens with its own shuffle would only pay the extra
+        # exchange) — and even then only when the scan actually
+        # yields fewer partitions than half the cores: at real
+        # scale the scan has many splits and this is a no-op
+        # (metadata check, no job).
         p = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(p // 2, 1):
             df = df.repartition(p)
     return df
+
+
+def _tr(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Rebalanced read — see the ``rebalance`` note in :func:`_t`."""
+    return _t(spark, sf_dir, name, rebalance=True)
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +256,7 @@ def _q_bloom_tokens(spark, sf_dir):
     from vision_parse_spark.operators.sketches import (
         bloom_build, bloom_probe)
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     toks_en = (d.filter(F.col("lang") == "en")
                 .select(F.explode(ws_tokens("text")).alias("tok")))
     toks_all = d.select(F.explode(ws_tokens("text")).alias("tok"))
@@ -364,7 +367,7 @@ def _q_lang_id(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from vision_parse_spark.operators.dedup import ngram_jaccard_adjacent
 
-    return ngram_jaccard_adjacent(_t(spark, sf_dir, "documents"))
+    return ngram_jaccard_adjacent(_tr(spark, sf_dir, "documents"))
 
 
 def _q_top_ngrams(spark, sf_dir):
@@ -373,7 +376,7 @@ def _q_top_ngrams(spark, sf_dir):
     TakeOrderedAndProject bounded top-k (no global sort)."""
     from vision_parse_spark.operators.corpus_stats import top_ngrams
 
-    return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=50)
+    return top_ngrams(_tr(spark, sf_dir, "documents"), n=3, k=50)
 
 
 def _q_span_dedup(spark, sf_dir):
@@ -385,7 +388,7 @@ def _q_span_dedup(spark, sf_dir):
     filter, no UDF."""
     from vision_parse_spark.operators.spans import remove_frequent_spans
 
-    return remove_frequent_spans(_t(spark, sf_dir, "documents"),
+    return remove_frequent_spans(_tr(spark, sf_dir, "documents"),
                                  n=3, max_df=3)
 
 
@@ -396,7 +399,7 @@ def _q_unigram_logprob(spark, sf_dir):
     (ln differs cross-engine only in the last ulp)."""
     from vision_parse_spark.operators.corpus_stats import unigram_logprob
 
-    return unigram_logprob(_t(spark, sf_dir, "documents"))
+    return unigram_logprob(_tr(spark, sf_dir, "documents"))
 
 
 def _q_winnow_fps(spark, sf_dir):
@@ -408,7 +411,7 @@ def _q_winnow_fps(spark, sf_dir):
     selection exactly."""
     from vision_parse_spark.operators.dedup import winnow_fingerprints
 
-    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return winnow_fingerprints(_tr(spark, sf_dir, "documents"))
 
 
 def _q_bigram_logprob(spark, sf_dir):
@@ -418,7 +421,7 @@ def _q_bigram_logprob(spark, sf_dir):
     round-4 output per the unigram ulp analysis."""
     from vision_parse_spark.operators.corpus_stats import bigram_logprob
 
-    return bigram_logprob(_t(spark, sf_dir, "documents"))
+    return bigram_logprob(_tr(spark, sf_dir, "documents"))
 
 
 def _q_bpe_merges(spark, sf_dir):
@@ -429,7 +432,7 @@ def _q_bpe_merges(spark, sf_dir):
     documents table while keeping the replay oracle tractable."""
     from vision_parse_spark.operators.bpe import bpe_merges
 
-    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=12)
+    return bpe_merges(_tr(spark, sf_dir, "documents"), n_merges=12)
 
 
 def _q_ccnet_buckets(spark, sf_dir):
@@ -442,7 +445,7 @@ def _q_ccnet_buckets(spark, sf_dir):
     from vision_parse_spark.operators.corpus_stats import (
         perplexity_buckets)
 
-    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+    return perplexity_buckets(_tr(spark, sf_dir, "documents"))
 
 
 def _q_postings(spark, sf_dir):
@@ -452,7 +455,7 @@ def _q_postings(spark, sf_dir):
     engine-portable layout."""
     from vision_parse_spark.operators.corpus_stats import build_postings
 
-    return build_postings(_t(spark, sf_dir, "documents"), min_df=2)
+    return build_postings(_tr(spark, sf_dir, "documents"), min_df=2)
 
 
 def _q_bm25(spark, sf_dir):
@@ -461,7 +464,7 @@ def _q_bm25(spark, sf_dir):
     score + id tie-break keeps the order engine-reproducible."""
     from vision_parse_spark.operators.corpus_stats import bm25_topk
 
-    return bm25_topk(_t(spark, sf_dir, "documents"),
+    return bm25_topk(_tr(spark, sf_dir, "documents"),
                      ["vector", "hash", "join"], k=10)
 
 
@@ -527,7 +530,7 @@ def _q_curate(spark, sf_dir):
     # and ships the variant dedup.py explicitly marks do-not-ship.
     from vision_parse_spark.operators.curation import curate
 
-    return curate(_t(spark, sf_dir, "documents")).select(
+    return curate(_tr(spark, sf_dir, "documents")).select(
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
 
@@ -547,10 +550,10 @@ def _q_curate_full(spark, sf_dir):
     # the corpus (both verify with exact jaccard >= 0.5).
     from vision_parse_spark.operators.curation import curate_full
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     ev = d.filter("doc_id % 10 = 0")
     tr = d.filter("doc_id % 10 != 0")
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tr(spark, sf_dir, "embeddings")
     return curate_full(tr, ev, emb).select(
         "doc_id", F.md5("text").alias("scrubbed_md5"))
 
@@ -564,7 +567,7 @@ def _q_line_dedup(spark, sf_dir):
     # frequency); the cut is a codegen'd higher-order filter.
     from vision_parse_spark.operators.spans import remove_frequent_lines
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_frequent_lines(d, max_df=3)
 
 
@@ -578,7 +581,7 @@ def _q_quality_clf(spark, sf_dir):
     whole table is then scored with keep_threshold=0.75."""
     from vision_parse_spark.operators.classifier import quality_classifier
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     tgt = d.filter("concat(' ', text, ' ') LIKE '% spark %'")
     raw = d.filter("concat(' ', text, ' ') NOT LIKE '% spark %'")
     return quality_classifier(raw, tgt, score_df=d,
@@ -646,7 +649,7 @@ def _q_dsir_weights(spark, sf_dir):
     # per-doc gram aggregation.
     from vision_parse_spark.operators.selection import dsir_logweights
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     tgt = d.filter("doc_id % 10 = 0")
     raw = d.filter("doc_id % 10 != 0")
     return dsir_logweights(raw, tgt, n_buckets=512)
@@ -661,7 +664,7 @@ def _q_decontaminate(spark, sf_dir):
     # same shingle construction + distinct-gram counting.
     from vision_parse_spark.operators.decontaminate import decontaminate
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     ev = d.filter("doc_id % 10 = 0")
     tr = d.filter("doc_id % 10 != 0")
     return decontaminate(tr, ev, n=5, min_hits=2).select("doc_id")
@@ -675,7 +678,7 @@ def _q_contamination_hits(spark, sf_dir):
         contamination_hits,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     ev = d.filter("doc_id % 10 = 0")
     tr = d.filter("doc_id % 10 != 0")
     return contamination_hits(tr, ev, n=5).select("doc_id", "n_hits")
@@ -696,7 +699,7 @@ def _q_repetition_stats(spark, sf_dir):
     # rounded to 6, fully replayable in DuckDB
     from vision_parse_spark.operators.repetition import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    return repetition_stats(_tr(spark, sf_dir, "documents"))
 
 
 def _q_scrub_pii(spark, sf_dir):
@@ -765,7 +768,7 @@ def _q_minhash_signature(spark, sf_dir):
     A = [1014583970, 671191146, 734632613, 963375983]
     B = [3331544683, 967257519, 1289204381, 3751883492]
     sh = with_shingles(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text", 3
+        _tr(spark, sf_dir, "documents").select("doc_id", "text"), "text", 3
     )
     h = F.expr(
         f"transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10)"
@@ -790,7 +793,7 @@ def _q_simhash(spark, sf_dir):
 
     _ensure_pkg(spark)
     return (
-        _t(spark, sf_dir, "documents")
+        _tr(spark, sf_dir, "documents")
         .select("doc_id", simhash64_cols(F.col("text")).alias("_s"))
         .select("doc_id", "_s.simhash_lo", "_s.simhash_hi")
     )
@@ -803,7 +806,7 @@ def _q_simhash64_portable(spark, sf_dir):
     # twin of the production pandas-hash simhash64 (rows-only)
     from vision_parse_spark.operators.dedup import simhash64_portable_cols
 
-    return simhash64_portable_cols(_t(spark, sf_dir, "documents"))
+    return simhash64_portable_cols(_tr(spark, sf_dir, "documents"))
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -815,7 +818,7 @@ def _q_simhash_pairs(spark, sf_dir):
     from vision_parse_spark.operators.dedup import simhash_near_dups
 
     _ensure_pkg(spark)
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     return simhash_near_dups(d, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -826,7 +829,7 @@ def _q_simhash16(spark, sf_dir):
     # SimHash construction (the production 64-bit one uses faster
     # non-portable hashing, hence rows-only)
     P = 4294967311
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.withColumn(
         "_h",
         F.expr(
@@ -849,7 +852,7 @@ def _q_simhash16(spark, sf_dir):
 def _q_cosine_topk(spark, sf_dir):
     from vision_parse_spark.operators.similarity import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     return brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -859,7 +862,7 @@ def _q_ann_lsh(spark, sf_dir):
     # and replays bucket assignment + bucket join + rank exactly
     from vision_parse_spark.operators.similarity import ann_topk_lsh
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return ann_topk_lsh(e, e.filter(F.col("vec_id") < 8), dim=dim, k=5,
                         n_planes=4)
@@ -874,7 +877,7 @@ def _q_ann_ivf(spark, sf_dir):
     # top-k; both share the identical cell-join plan shape.
     from vision_parse_spark.operators.similarity import ivf_topk_portable
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     return ivf_topk_portable(e, e.filter(F.col("vec_id") < 8),
                              n_centroids=8, nprobe=3, k=5)
 
@@ -886,7 +889,7 @@ def _q_embedding_near_dups(spark, sf_dir):
     # differ by an ulp — seen once at sf0.1
     from vision_parse_spark.operators.similarity import embedding_near_dups
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     return embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4) \
         .select("id_a", "id_b")
@@ -901,7 +904,7 @@ def _q_embedding_dup_clusters(spark, sf_dir):
     from vision_parse_spark.operators.dedup import dup_clusters
     from vision_parse_spark.operators.similarity import embedding_near_dups
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     pairs = embedding_near_dups(e, dim=dim, threshold=0.3, n_planes=4) \
         .select("id_a", "id_b")
@@ -918,7 +921,7 @@ def _q_kmeans_assign(spark, sf_dir):
     chain as CTEs."""
     from vision_parse_spark.operators.clustering import kmeans_assign
 
-    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return kmeans_assign(_tr(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 def _q_semdedup(spark, sf_dir):
@@ -927,7 +930,7 @@ def _q_semdedup(spark, sf_dir):
     survivor rule as one anti-join — no iterative CC."""
     from vision_parse_spark.operators.clustering import semdedup
 
-    return semdedup(_t(spark, sf_dir, "embeddings"), k=8, iters=2,
+    return semdedup(_tr(spark, sf_dir, "embeddings"), k=8, iters=2,
                     threshold=0.3)
 
 
@@ -1008,7 +1011,7 @@ def _q_hll_vocab(spark, sf_dir):
     from vision_parse_spark.functions.text_stats import ws_tokens
     from vision_parse_spark.operators.sketches import hll_distinct
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     toks = d.select("lang", F.explode(ws_tokens("text")).alias("tok"))
     est = hll_distinct(toks, "tok", ["lang"], p=12)
     exact = toks.groupBy("lang").agg(
@@ -1025,7 +1028,7 @@ def _q_cms_heavy(spark, sf_dir):
     from vision_parse_spark.functions.text_stats import ws_tokens
     from vision_parse_spark.operators.sketches import cms_counts
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     toks = d.select(F.explode(ws_tokens("text")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = (exact.orderBy(F.desc("exact_cnt"), F.asc("tok"))
@@ -1107,7 +1110,7 @@ def _q_bpe_encode(spark, sf_dir):
     in word order."""
     from vision_parse_spark.operators.bpe import bpe_apply, bpe_merges
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     m = sorted(bpe_merges(d, n_merges=12).collect(),
                key=lambda r: r.rank)
     merges = [(r.left_sym, r.right_sym) for r in m]
@@ -1129,7 +1132,7 @@ def _q_vocab_growth(spark, sf_dir):
     all 20 sources and exercise the full operator."""
     from vision_parse_spark.operators.corpus_stats import vocab_growth
 
-    return vocab_growth(_t(spark, sf_dir, "documents"), n=3)
+    return vocab_growth(_tr(spark, sf_dir, "documents"), n=3)
 
 
 def _q_dialog_integrity(spark, sf_dir):
@@ -1187,7 +1190,7 @@ def _q_bpe_fertility(spark, sf_dir):
     DuckDB replay (w12 vocabulary joined onto per-doc word streams)."""
     from vision_parse_spark.operators.bpe import bpe_fertility, bpe_merges
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     m = sorted(bpe_merges(d, n_merges=12).collect(),
                key=lambda r: r.rank)
     merges = [(r.left_sym, r.right_sym) for r in m]
@@ -1259,7 +1262,7 @@ def _q_exact_substring_hits(spark, sf_dir):
         exact_substring_hits,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     frags = (d.filter(F.col("doc_id") < 5)
               .select(F.col("doc_id").alias("frag_id"),
                       F.substring("text", 20, 40).alias("fragment")))
@@ -1275,7 +1278,7 @@ def _q_ivf_adc_topk(spark, sf_dir):
     chains, probe ranking and ADC sums as strict folds."""
     from vision_parse_spark.operators.pq import ivf_adc_topk, pq_fit
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     books = pq_fit(e, **_PQ_PARAMS)
     q = e.filter(F.col("vec_id") < 4)
     return (ivf_adc_topk(e, q, books, n_centroids=8, nprobe=3,
@@ -1294,7 +1297,7 @@ def _q_source_divergence(spark, sf_dir):
         source_divergence,
     )
 
-    return source_divergence(_t(spark, sf_dir, "documents"), top_k=20)
+    return source_divergence(_tr(spark, sf_dir, "documents"), top_k=20)
 
 
 def _q_lexical_diversity(spark, sf_dir):
@@ -1306,7 +1309,7 @@ def _q_lexical_diversity(spark, sf_dir):
         lexical_diversity,
     )
 
-    return lexical_diversity(_t(spark, sf_dir, "documents"))
+    return lexical_diversity(_tr(spark, sf_dir, "documents"))
 
 
 def _q_burst_detection(spark, sf_dir):
@@ -1328,7 +1331,7 @@ def _q_keyword_extract(spark, sf_dir):
     under the bm25 ulp precedent."""
     from vision_parse_spark.operators.corpus_stats import keyword_extract
 
-    return keyword_extract(_t(spark, sf_dir, "documents"), k=3)
+    return keyword_extract(_tr(spark, sf_dir, "documents"), k=3)
 
 
 def _q_scalar_quantize(spark, sf_dir):
@@ -1340,7 +1343,7 @@ def _q_scalar_quantize(spark, sf_dir):
     element-wise; no fold, no ulp caveat."""
     from vision_parse_spark.operators.pq import scalar_quantize
 
-    return scalar_quantize(_t(spark, sf_dir, "embeddings"))
+    return scalar_quantize(_tr(spark, sf_dir, "embeddings"))
 
 
 _PQ_PARAMS = dict(m=4, k=8, iters=2)   # dim 64 -> 4 subspaces of 16
@@ -1355,7 +1358,7 @@ def _q_pq_codes(spark, sf_dir):
     strict-fold distance argmin."""
     from vision_parse_spark.operators.pq import pq_encode, pq_fit
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     books = pq_fit(e, **_PQ_PARAMS)
     return (pq_encode(e, books)
             .select("vec_id",
@@ -1373,7 +1376,7 @@ def _q_pq_adc_topk(spark, sf_dir):
     = (rounded dist, neighbor id)."""
     from vision_parse_spark.operators.pq import pq_adc_topk, pq_fit
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tr(spark, sf_dir, "embeddings")
     books = pq_fit(e, **_PQ_PARAMS)
     q = e.filter(F.col("vec_id") < 4)
     return (pq_adc_topk(e, q, books, k=5)
@@ -1395,7 +1398,7 @@ def _q_length_quantiles(spark, sf_dir):
     interpolation, the event_quantiles precedent)."""
     from vision_parse_spark.operators.sketches import hist_quantiles
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tr(spark, sf_dir, "documents")
     lens = d.select(F.length("text").alias("len"))
     est = hist_quantiles(lens, "len", _LQ_PROBS, n_bins=64)
     arr = ", ".join(f"{p}D" for p in _LQ_PROBS)
@@ -1447,7 +1450,7 @@ def _q_chunk_documents(spark, sf_dir):
     # Catalyst sequence/slice/posexplode (no UDF, narrow Generate)
     from vision_parse_spark.operators.chunking import chunk_documents
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(d, max_tokens=64, overlap=8)
 
 
@@ -1531,57 +1534,16 @@ def _q_top_customers(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is the driver-verification window (round-6 verdict #1):
+    # the external CORRECTNESS check takes the FIRST 50 entries in
+    # insertion order, and rounds 4-6 kept appending, so 42 queries
+    # (doc_assembly..top_customers) had never received a driver-side
+    # green row.  Round 7 rotates them to the FRONT, followed by 8
+    # anchors covering this round's heaviest-rewritten paths, then
+    # the long-stable remainder.  Pure reordering — names, builders
+    # and oracles are untouched.
     return {
-        "extract_markdown": _q_extract_markdown,
-        "extract_stats": _q_extract_stats,
-        "fence_strip": _q_fence_strip,
-        "empty_rule": _q_empty_rule,
-        "fast_path": _q_fast_path,
-        "ordered_turns": _q_ordered_turns,
-        "sessionize": _q_sessionize,
-        "lev_similarity": _q_lev_similarity,
-        "rouge2": _q_rouge2,
-        "bloom_tokens": _q_bloom_tokens,
-        "accuracy_agg": _q_accuracy_agg,
-        "exact_dedup": _q_exact_dedup,
-        "token_count": _q_token_count,
-        "quality_score": _q_quality_score,
-        "top_quality": _q_top_quality,
-        "lang_id": _q_lang_id,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "top_ngrams": _q_top_ngrams,
-        "span_dedup": _q_span_dedup,
-        "postings": _q_postings,
-        "unigram_logprob": _q_unigram_logprob,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "winnow_fps": _q_winnow_fps,
-        "bigram_logprob": _q_bigram_logprob,
-        "bpe_merges": _q_bpe_merges,
-        "bm25": _q_bm25,
-        "minhash_dedup": _q_minhash_dedup,
-        "minhash_incremental": _q_minhash_incremental,
-        "dup_clusters": _q_dup_clusters,
-        "minhash_signature": _q_minhash_signature,
-        "hash_split": _q_hash_split,
-        "stratified_sample": _q_stratified_sample,
-        "resample_mixture": _q_resample_mixture,
-        "scrub_pii": _q_scrub_pii,
-        "repetition_stats": _q_repetition_stats,
-        "curate": _q_curate,
-        "curate_full": _q_curate_full,
-        "gopher_signals": _q_gopher_signals,
-        "c4_filters": _q_c4_filters,
-        "quality_clf": _q_quality_clf,
-        "dsir_weights": _q_dsir_weights,
-        "line_dedup": _q_line_dedup,
-        "decontaminate": _q_decontaminate,
-        "contamination_hits": _q_contamination_hits,
-        "pack_contexts": _q_pack_contexts,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "simhash16": _q_simhash16,
-        "simhash64_portable": _q_simhash64_portable,
-        "explode_pages": _q_explode_pages,
+        # --- never-driver-verified before round 7 (42) -------------
         "doc_assembly": _q_doc_assembly,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
@@ -1624,6 +1586,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": _q_regional_revenue,
         "promo_revenue_share": _q_promo_revenue_share,
         "top_customers": _q_top_customers,
+        # --- anchors: this round's heaviest-rewritten paths (8) ----
+        "extract_markdown": _q_extract_markdown,
+        "rouge2": _q_rouge2,
+        "winnow_fps": _q_winnow_fps,
+        "minhash_dedup": _q_minhash_dedup,
+        "dup_clusters": _q_dup_clusters,
+        "curate": _q_curate,
+        "curate_full": _q_curate_full,
+        "quality_clf": _q_quality_clf,
+        # --- long-stable, driver-green in rounds 1-6 ---------------
+        "extract_stats": _q_extract_stats,
+        "fence_strip": _q_fence_strip,
+        "empty_rule": _q_empty_rule,
+        "fast_path": _q_fast_path,
+        "ordered_turns": _q_ordered_turns,
+        "sessionize": _q_sessionize,
+        "lev_similarity": _q_lev_similarity,
+        "bloom_tokens": _q_bloom_tokens,
+        "accuracy_agg": _q_accuracy_agg,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "top_quality": _q_top_quality,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "top_ngrams": _q_top_ngrams,
+        "span_dedup": _q_span_dedup,
+        "postings": _q_postings,
+        "unigram_logprob": _q_unigram_logprob,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "bigram_logprob": _q_bigram_logprob,
+        "bpe_merges": _q_bpe_merges,
+        "bm25": _q_bm25,
+        "minhash_incremental": _q_minhash_incremental,
+        "minhash_signature": _q_minhash_signature,
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
+        "resample_mixture": _q_resample_mixture,
+        "scrub_pii": _q_scrub_pii,
+        "repetition_stats": _q_repetition_stats,
+        "gopher_signals": _q_gopher_signals,
+        "c4_filters": _q_c4_filters,
+        "dsir_weights": _q_dsir_weights,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
+        "contamination_hits": _q_contamination_hits,
+        "pack_contexts": _q_pack_contexts,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash16": _q_simhash16,
+        "simhash64_portable": _q_simhash64_portable,
+        "explode_pages": _q_explode_pages,
     }
 
 
