@@ -19,6 +19,7 @@ divisions rounded to 6, so the DuckDB oracle replays exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,19 +31,44 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document repetition signals: (id, n_lines, dup_line_frac,
     n_bigrams, top_bigram_frac)."""
-    from vision_parse_spark.functions.text_stats import word_ngrams_udf
+    from collections import Counter
+
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    from vision_parse_spark.functions.text_stats import java_ws_tokens
+
+    # Both signals are PER-DOCUMENT statistics, so the bigram census
+    # never needs to leave the row (round 7; guide §2.4 "remove
+    # shuffles outright"): the old plan exploded every bigram
+    # occurrence into a (doc, bigram) count agg plus a per-doc re-agg
+    # plus a join back — two corpus-token-sized exchanges for numbers
+    # a per-row Counter produces exactly (top count and total are
+    # integers; the fraction stays a Catalyst round of their
+    # division).  The plan is now one narrow Project, zero shuffle.
+    @F.pandas_udf(StructType([StructField("top", LongType()),
+                              StructField("total", LongType())]))
+    def bigram_stats(texts: pd.Series) -> pd.DataFrame:
+        tops, totals = [], []
+        for t in texts:
+            toks = java_ws_tokens(t)
+            if len(toks) < 2:
+                tops.append(0)
+                totals.append(0)
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            tops.append(max(c.values()))
+            totals.append(len(toks) - 1)
+        return pd.DataFrame({"top": tops, "total": totals},
+                            index=texts.index)
 
     lines = F.expr(
         f"filter(transform(split({text_col}, '\\n'), x -> trim(x)),"
         f" x -> x != '')"
     )
-    # bigram generation through the Arrow kernel (string-identical to
-    # the interpreted Catalyst slice lambda it replaces; docs with < 2
-    # tokens yield an empty array either way)
-    with_lines = df.select(
-        id_col,
+    return df.select(
+        F.col(id_col),
         lines.alias("_lines"),
-        word_ngrams_udf(2)(F.col(text_col)).alias("_bigrams"),
+        bigram_stats(F.col(text_col)).alias("_bg"),
     ).select(
         id_col,
         F.size("_lines").alias("n_lines"),
@@ -50,29 +76,10 @@ def repetition_stats(
                F.round(1 - F.size(F.array_distinct("_lines"))
                        / F.size("_lines"), 6))
         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
-        "_bigrams",
-    )
-    exploded = with_lines.select(
-        id_col, F.explode_outer("_bigrams").alias("_bg"))
-    per_gram = (
-        exploded.filter(F.col("_bg").isNotNull())
-        .groupBy(id_col, "_bg")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    per_doc = per_gram.groupBy(id_col).agg(
-        F.max("_c").alias("_top"),
-        F.sum("_c").alias("n_bigrams"),
-    )
-    return (
-        with_lines.select(id_col, "n_lines", "dup_line_frac")
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col, "n_lines", "dup_line_frac",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.when(F.col("n_bigrams") > 0,
-                   F.round(F.col("_top") / F.col("n_bigrams"), 6))
-            .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-        )
+        F.col("_bg.total").alias("n_bigrams"),
+        F.when(F.col("_bg.total") > 0,
+               F.round(F.col("_bg.top") / F.col("_bg.total"), 6))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 
