@@ -78,11 +78,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
         # exchange) — and even then only when the scan actually
         # yields fewer partitions than half the cores: at real
         # scale the scan has many splits and this is a no-op
-        # (metadata check, no job).
+        # (metadata check, no job).  The probe is cached per
+        # (sf_dir, table, cores): building the RDD-conversion plan
+        # costs ~0.1 s of driver time per call and the answer cannot
+        # change within a run.
         p = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(p // 2, 1):
+        key = (sf_dir, name, p)
+        n = _SCAN_PARTS_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SCAN_PARTS_CACHE[key] = n
+        if n < max(p // 2, 1):
             df = df.repartition(p)
     return df
+
+
+_SCAN_PARTS_CACHE: dict = {}
 
 
 def _tr(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
