@@ -92,6 +92,10 @@ def curate(
     gated = gated.localCheckpoint(eager=True)
     survivors = minhash_dedup(
         gated, id_col, text_col, jaccard_threshold=jaccard_threshold,
+        # gated is an eager checkpoint of a join output — already
+        # spread over the shuffle partitions; the LSH's default
+        # source rebalance would just re-shuffle the texts
+        rebalance=False,
     )
     return scrub_pii(survivors, text_col)
 
@@ -204,7 +208,10 @@ def curate_full(
     sem_surv = sem_surv.localCheckpoint(eager=True)
 
     deduped = minhash_dedup(sem_surv, id_col, text_col,
-                            jaccard_threshold=jaccard_threshold)
+                            jaccard_threshold=jaccard_threshold,
+                            # sem_surv is an eager checkpoint of a
+                            # join output — already well-partitioned
+                            rebalance=False)
     cut = remove_frequent_spans(deduped, n=span_n, max_df=span_max_df,
                                 id_col=id_col, text_col=text_col)
     return scrub_pii(
