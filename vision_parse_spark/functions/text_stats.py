@@ -76,7 +76,10 @@ def word_ngrams_udf(n: int):
                        if len(ts) >= n else [])
         return pd.Series(out, index=texts.index)
 
-    return grams
+    # guide §4.4: gram arrays feed explode(); without this the
+    # Generate's inferred constraint duplicates the UDF below the
+    # preceding exchange (two ArrowEvalPython nodes in the plan)
+    return grams.asNondeterministic()
 
 # tiny marker-word inventories per language (deterministic heuristic —
 # the point is the vectorized counting pattern, not linguistic recall)

@@ -171,7 +171,14 @@ def make_shingle_udf(n: int = 3):
     def shingles(texts: pd.Series) -> pd.Series:
         return _shingle_lists(texts, n)
 
-    return shingles
+    # guide §4.4: the gram arrays feed explode()s downstream; the
+    # Generate's inferred isnotnull/size constraint otherwise gets
+    # pushed below the preceding exchange and the optimizer
+    # DUPLICATES the UDF evaluation under it (verified in plans:
+    # two ArrowEvalPython nodes, the lower one on the unsplit scan
+    # side).  Non-deterministic marking forbids the duplication;
+    # the function itself is pure.
+    return shingles.asNondeterministic()
 
 
 def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
@@ -201,7 +208,8 @@ def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
         out = mins.T.tolist()
         return pd.Series(out, index=texts.index)
 
-    return minhash_np
+    # guide §4.4 duplication guard — see make_shingle_udf
+    return minhash_np.asNondeterministic()
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -375,7 +383,8 @@ def make_minhash_portable_udf(num_perm: int = 32, shingle_n: int = 3):
         mins = np.minimum.reduceat(perm, offsets, axis=1)
         return pd.Series(mins.T.tolist(), index=texts.index)
 
-    return minhash_md5
+    # guide §4.4 duplication guard — see make_shingle_udf
+    return minhash_md5.asNondeterministic()
 
 
 def with_minhash_portable(df: DataFrame, text_col: str = "text",

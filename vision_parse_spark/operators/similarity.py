@@ -505,7 +505,8 @@ def _cell_assign_udf(centroids: np.ndarray, nprobe: int = 1):
         top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(top), index=vecs.index)
 
-    return assign
+    # guide §4.4 duplication guard (probes explode the cell array)
+    return assign.asNondeterministic()
 
 
 def ivf_topk(
