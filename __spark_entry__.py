@@ -1354,7 +1354,7 @@ def _q_scalar_quantize(spark, sf_dir):
     element-wise; no fold, no ulp caveat."""
     from vision_parse_spark.operators.pq import scalar_quantize
 
-    return scalar_quantize(_tr(spark, sf_dir, "embeddings"))
+    return scalar_quantize(_t(spark, sf_dir, "embeddings"))
 
 
 _PQ_PARAMS = dict(m=4, k=8, iters=2)   # dim 64 -> 4 subspaces of 16
