@@ -475,7 +475,7 @@ def _q_bm25(spark, sf_dir):
     score + id tie-break keeps the order engine-reproducible."""
     from vision_parse_spark.operators.corpus_stats import bm25_topk
 
-    return bm25_topk(_tr(spark, sf_dir, "documents"),
+    return bm25_topk(_t(spark, sf_dir, "documents"),
                      ["vector", "hash", "join"], k=10)
 
 
@@ -932,7 +932,7 @@ def _q_kmeans_assign(spark, sf_dir):
     chain as CTEs."""
     from vision_parse_spark.operators.clustering import kmeans_assign
 
-    return kmeans_assign(_tr(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 def _q_semdedup(spark, sf_dir):
@@ -941,7 +941,7 @@ def _q_semdedup(spark, sf_dir):
     survivor rule as one anti-join — no iterative CC."""
     from vision_parse_spark.operators.clustering import semdedup
 
-    return semdedup(_tr(spark, sf_dir, "embeddings"), k=8, iters=2,
+    return semdedup(_t(spark, sf_dir, "embeddings"), k=8, iters=2,
                     threshold=0.3)
 
 
@@ -1289,7 +1289,7 @@ def _q_ivf_adc_topk(spark, sf_dir):
     chains, probe ranking and ADC sums as strict folds."""
     from vision_parse_spark.operators.pq import ivf_adc_topk, pq_fit
 
-    e = _tr(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings")
     books = pq_fit(e, **_PQ_PARAMS)
     q = e.filter(F.col("vec_id") < 4)
     return (ivf_adc_topk(e, q, books, n_centroids=8, nprobe=3,
@@ -1387,7 +1387,7 @@ def _q_pq_adc_topk(spark, sf_dir):
     = (rounded dist, neighbor id)."""
     from vision_parse_spark.operators.pq import pq_adc_topk, pq_fit
 
-    e = _tr(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings")
     books = pq_fit(e, **_PQ_PARAMS)
     q = e.filter(F.col("vec_id") < 4)
     return (pq_adc_topk(e, q, books, k=5)
