@@ -105,8 +105,15 @@ def bpe_merges(df: DataFrame, n_merges: int = 20,
         a, b, freq = top[0].l, top[0].r, top[0].freq
         merges.append(Row(rank=rank, left_sym=a, right_sym=b,
                           freq=int(freq)))
+        # lazy checkpoint: the NEXT rank's pairs aggregation is the
+        # first (and only) action over the folded vocab, so it both
+        # computes the fold once and materializes the checkpoint in
+        # the SAME job — eager=True here cost a second full job per
+        # merge rank for identical results (measured 2x the loop's
+        # fixed cost; values unaffected, checkpointing never changes
+        # them)
         vocab = (vocab.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
     schema = "rank int, left_sym string, right_sym string, freq bigint"
     return spark.createDataFrame(merges, schema=schema)
 
