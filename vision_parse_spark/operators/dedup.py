@@ -608,7 +608,7 @@ def dup_clusters(
     labels = _jump(
         sym.groupBy(F.col("src").alias("doc_id"))
         .agg(F.min("dst").alias("cluster_id"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Convergence check: labels are MONOTONE NON-INCREASING (least of
     # own and neighbor minima; the pointer jump substitutes a label
     # whose own label is <= it), so for NUMERIC ids the exact label
@@ -655,7 +655,7 @@ def dup_clusters(
             sym.join(labels, sym["dst"] == labels["doc_id"])
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("cluster_id"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         if summable:
             new_sum = _label_sum(new_labels)
             converged = new_sum == prev_sum
