@@ -126,11 +126,24 @@ def _fit_from_features(raw_feats: DataFrame, tgt_feats: DataFrame,
         train.unpersist()
         raise ValueError("quality_classifier_fit: no trainable docs "
                          "(every doc tokenized to zero grams)")
+    # The cached union inherits BOTH inputs' shuffle partitioning
+    # (2x spark.sql.shuffle.partitions slivers), and every GD job
+    # pays one Python-worker kernel invocation per partition — at
+    # test scale that overhead dwarfs the math.  Coalesce the loop's
+    # read to ~one Arrow batch per task (shuffle-free, derived from
+    # the row count we just paid for, never increasing the partition
+    # count, so at real scale this is a no-op).  Partial-sum merge
+    # order was already arbitrary (hash agg over batches), the
+    # documented O(1e-12) drift tolerance; re-verified hash-green at
+    # all SFs after this change.
+    cur_parts = train.rdd.getNumPartitions()
+    target = max(1, min(cur_parts, -(-n_docs // 8192)))
+    loop = train.coalesce(target) if target < cur_parts else train
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
     for _ in range(iters):
-        parts = (train.mapInPandas(_grad_fn(w, bias),
-                                   "i int, s double")
+        parts = (loop.mapInPandas(_grad_fn(w, bias),
+                                  "i int, s double")
                       .groupBy("i").agg(F.sum("s").alias("s"))
                       .collect())
         for r in parts:
