@@ -88,9 +88,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
         if n is None:
             n = df.rdd.getNumPartitions()
             _SCAN_PARTS_CACHE[key] = n
-        if n < max(p // 2, 1):
+        if n < max(p // 2, 1) and _src_bytes(sf_dir, name) >= \
+                _REBALANCE_MIN_BYTES:
+            # size guard (measured crossover): the exchange costs a
+            # fixed ~0.2-0.5 s (p tasks + a shuffle of every byte),
+            # so a sub-megabyte unsplittable file is cheaper to
+            # process serially than to repartition — isolated
+            # best-of-3 showed the exchange LOSING on every consumer
+            # at the 0.6 MB test corpus and winning on the same
+            # queries at the 6 MB 10x tile.  2 MiB splits those
+            # regimes with margin on both sides; parameterised for
+            # clusters where the fixed exchange cost differs.
             df = df.repartition(p)
     return df
+
+
+_REBALANCE_MIN_BYTES = int(os.environ.get(
+    "VPS_REBALANCE_MIN_BYTES", str(2 << 20)))
+
+
+def _src_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a parquet source (file or directory)."""
+    path = f"{sf_dir}/{name}.parquet"
+    key = ("bytes", path)
+    b = _SCAN_PARTS_CACHE.get(key)
+    if b is None:
+        try:
+            if os.path.isdir(path):
+                b = sum(os.path.getsize(os.path.join(r, f))
+                        for r, _d, fs in os.walk(path) for f in fs)
+            else:
+                b = os.path.getsize(path)
+        except OSError:
+            # non-local path (object store): size unknown — keep the
+            # pre-guard behaviour (rebalance) rather than silently
+            # serializing a possibly-huge scan
+            b = 1 << 62
+        _SCAN_PARTS_CACHE[key] = b
+    return b
 
 
 _SCAN_PARTS_CACHE: dict = {}
