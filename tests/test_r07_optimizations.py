@@ -182,3 +182,83 @@ def test_repetition_bigram_census_matches_brute_force(spark):
             total = len(toks) - 1
             assert got[i][0] == total
             assert got[i][1] == round(max(c.values()) / total, 6)
+
+
+# --- end-of-round wave: single-evaluation CC input ------------------
+
+def test_dup_clusters_evaluates_pairs_input_once(spark):
+    """The symmetric+self-loop star edges are built with ONE explode
+    pass; the old 3-branch union evaluated the (possibly expensive,
+    non-materialized) pairs subtree once per branch inside the
+    distinct job.  Pin single evaluation with an accumulator-
+    instrumented input."""
+    import pandas as pd
+
+    from vision_parse_spark.operators.dedup import dup_clusters
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    # two components: {1,2,3} and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    ).repartition(2).mapInPandas(bump, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # every input row crossed the instrumented kernel exactly once
+    assert acc.value == 3, (
+        f"pairs input evaluated {acc.value / 3:.1f}x (expected 1x)")
+
+
+# --- end-of-round wave: GD loop partitioning invariance -------------
+
+def test_quality_fit_invariant_to_loop_partitioning(spark):
+    """The GD loop coalesces its cached read to ~one Arrow batch per
+    task.  Partial-sum merge order is engine-arbitrary either way, so
+    weights must agree to the documented drift tolerance between a
+    many-sliver layout and the coalesced one."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vision_parse_spark.operators.classifier import (
+        _doc_buckets, _fit_from_features)
+
+    texts = [(i, " ".join(
+        ["alpha beta gamma", "delta epsilon", "zeta eta theta"][i % 3]
+        for _ in range(3 + i % 5))) for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    raw = _doc_buckets(df.filter("doc_id % 2 = 0"), "doc_id", "text", 64) \
+        .withColumn("y", F.lit(0))
+    tgt = _doc_buckets(df.filter("doc_id % 2 = 1"), "doc_id", "text", 64) \
+        .withColumn("y", F.lit(1))
+    w1, b1 = _fit_from_features(raw, tgt, 64, 4, 0.125)
+    w2, b2 = _fit_from_features(raw.repartition(16), tgt.repartition(16),
+                                64, 4, 0.125)
+    np.testing.assert_allclose(w1, w2, rtol=1e-9, atol=1e-12)
+    assert abs(b1 - b2) < 1e-9
+
+
+# --- end-of-round wave: size-guarded scan rebalance -----------------
+
+def test_scan_rebalance_size_guard(spark, monkeypatch):
+    """_tr repartitions an unsplittable scan only when the file is
+    big enough that serializing its per-row work beats the exchange;
+    below the threshold the read stays at its natural partitioning."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    em._SCAN_PARTS_CACHE.clear()
+    # tiny file, default 2 MiB threshold: no repartition
+    assert em._tr(spark, sf, "documents").rdd.getNumPartitions() == 1
+    # force the threshold to zero: the guard passes and the read is
+    # spread to the session's default parallelism
+    em._SCAN_PARTS_CACHE.clear()
+    monkeypatch.setattr(em, "_REBALANCE_MIN_BYTES", 0)
+    p = spark.sparkContext.defaultParallelism
+    assert em._tr(spark, sf, "documents").rdd.getNumPartitions() == p
+    em._SCAN_PARTS_CACHE.clear()
